@@ -1,0 +1,221 @@
+"""ORB feature extraction as a batched TPU program.
+
+Replaces ``ORBextractor.cc`` (pyramid + tiled FAST + quadtree + IC-angle +
+rBRIEF, 1187 LoC of per-pixel C++): here each stage is a whole-image array op
+— FAST corner scoring is 16 shifted difference planes (ops/fast.py), the
+sequential quadtree culling (``DistributeOctTree``, ``ORBextractor.cc:561-787``)
+becomes per-level top-K selection on the non-max-suppressed response map
+(documented behavioral difference: same per-level budgets
+``ORBextractor.cc:444-455``, spatial uniformity enforced by non-max + cell
+threshold fallback instead of the quadtree), IC-angle
+(``ORBextractor.cc:77-104``) is a 2-channel 31x31 convolution + gather, and
+rBRIEF (``computeOrbDescriptor``, ``ORBextractor.cc:108-147``) is a 512-sample
+rotated gather from the blurred level image using the same public 256-pair
+pattern (``bit_pattern_31_``), bit-packed to match OpenCV byte order exactly.
+
+Everything is static-shape: each frame yields ``cfg.orb.max_kps`` keypoint
+slots with a validity mask.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from orb_slam_2_ros_tpu.config import OrbConfig
+from orb_slam_2_ros_tpu.ops import fast as fast_ops
+from orb_slam_2_ros_tpu.ops.image import gaussian_blur_7x7, resize_linear, quantize_u8
+
+HALF_PATCH = 15
+_PATTERN_PATH = __file__.rsplit("/", 2)[0] + "/ops/data/brief_pattern.npy"
+
+
+class Keypoints(NamedTuple):
+    """Fixed-capacity keypoint set for one image (SURVEY.md §7.0).
+
+    ``xy`` are raw (distorted) level-0 pixel coords like the reference's
+    ``mvKeys``; undistortion happens at Frame build (frontend/frame.py).
+    """
+
+    xy: jnp.ndarray        # (max_kps, 2) float32, level-0 pixel coords
+    response: jnp.ndarray  # (max_kps,) float32 FAST corner score
+    angle: jnp.ndarray     # (max_kps,) float32 radians
+    octave: jnp.ndarray    # (max_kps,) int32 pyramid level
+    desc: jnp.ndarray      # (max_kps, 8) uint32 = 256-bit rBRIEF
+    valid: jnp.ndarray     # (max_kps,) bool
+
+    @property
+    def n(self):
+        return jnp.sum(self.valid.astype(jnp.int32))
+
+
+def level_budgets(cfg: OrbConfig) -> list:
+    """Per-level feature budgets, geometric series with remainder on the last
+    level (``ORBextractor.cc:444-455``)."""
+    factor = 1.0 / cfg.scale_factor
+    n_desired = cfg.n_features * (1 - factor) / (1 - factor ** cfg.n_levels)
+    budgets = []
+    for i in range(cfg.n_levels - 1):
+        budgets.append(int(round(n_desired * factor ** i)))
+    budgets.append(max(cfg.n_features - sum(budgets), 0))
+    return budgets
+
+
+@functools.lru_cache()
+def umax_table(hp: int = HALF_PATCH) -> tuple:
+    """Circular-patch row extents, replicating the ORBextractor constructor's
+    symmetry-corrected table (``ORBextractor.cc:452-468``)."""
+    umax = [0] * (hp + 2)
+    vmax = int(np.floor(hp * np.sqrt(2.0) / 2.0 + 1))
+    vmin = int(np.ceil(hp * np.sqrt(2.0) / 2.0))
+    hp2 = hp * hp
+    for v in range(vmax + 1):
+        umax[v] = int(round(np.sqrt(hp2 - v * v)))
+    v0 = 0
+    for v in range(hp, vmin - 1, -1):
+        while umax[v0] == umax[v0 + 1]:
+            v0 += 1
+        umax[v] = v0
+        v0 += 1
+    return tuple(umax[: hp + 1])
+
+
+@functools.lru_cache()
+def _ic_angle_kernels() -> np.ndarray:
+    """(2, 1, 31, 31) correlation kernels: channel 0 -> m10 (u moment),
+    channel 1 -> m01 (v moment), over the circular patch."""
+    um = umax_table()
+    size = 2 * HALF_PATCH + 1
+    k = np.zeros((2, 1, size, size), np.float32)
+    for v in range(-HALF_PATCH, HALF_PATCH + 1):
+        for u in range(-HALF_PATCH, HALF_PATCH + 1):
+            if abs(u) <= um[abs(v)]:
+                k[0, 0, v + HALF_PATCH, u + HALF_PATCH] = u
+                k[1, 0, v + HALF_PATCH, u + HALF_PATCH] = v
+    return k
+
+
+@functools.lru_cache()
+def _brief_pattern() -> np.ndarray:
+    """(512, 2) int8 sampling offsets — the public learned pattern from the
+    ORB paper (Rublee et al. 2011), identical to OpenCV's bit_pattern_31_."""
+    return np.load(_PATTERN_PATH)
+
+
+def ic_angle_maps(img: jnp.ndarray) -> jnp.ndarray:
+    """(2, H, W) moment maps m10, m01 for every pixel via conv (MXU)."""
+    k = jnp.asarray(_ic_angle_kernels())
+    out = jax.lax.conv_general_dilated(
+        img[None, None, :, :], k,
+        window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out[0]
+
+
+def _pack_bits_u32(bits: jnp.ndarray) -> jnp.ndarray:
+    """(N, 256) bool -> (N, 8) uint32, little-endian within bytes and words so
+    byte k of the OpenCV descriptor == (word[k//4] >> 8*(k%4)) & 0xFF."""
+    b = bits.astype(jnp.uint32).reshape(bits.shape[0], 8, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    return jnp.sum(b * weights, axis=-1, dtype=jnp.uint32)
+
+
+def _descriptors(blurred: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                 angle: jnp.ndarray) -> jnp.ndarray:
+    """Rotated rBRIEF for keypoints at integer coords (x, y) on one level.
+
+    Matches computeOrbDescriptor (``ORBextractor.cc:108-147``): sample point i
+    is read at (x + round(px_i*cos - py_i*sin), y + round(px_i*sin + py_i*cos))
+    from the blurred image; bit i = sample(2i) < sample(2i+1).
+    """
+    H, W = blurred.shape
+    pat = jnp.asarray(_brief_pattern().astype(np.float32))  # (512, 2)
+    a = jnp.cos(angle)[:, None]
+    b = jnp.sin(angle)[:, None]
+    px, py = pat[:, 0][None, :], pat[:, 1][None, :]
+    sx = jnp.round(px * a - py * b).astype(jnp.int32) + x[:, None]
+    sy = jnp.round(px * b + py * a).astype(jnp.int32) + y[:, None]
+    sx = jnp.clip(sx, 0, W - 1)
+    sy = jnp.clip(sy, 0, H - 1)
+    vals = blurred.ravel()[sy * W + sx]                      # (N, 512)
+    v0 = vals[:, 0::2]
+    v1 = vals[:, 1::2]
+    return _pack_bits_u32(v0 < v1)
+
+
+def _extract_level(img_l: jnp.ndarray, budget: int, cfg: OrbConfig):
+    """One pyramid level -> (xy, response, angle, desc, valid), all length
+    ``budget`` (padded)."""
+    H, W = img_l.shape
+    resp_map = fast_ops.detect(
+        fast_ops.fast_score_map(img_l),
+        threshold=float(cfg.ini_th_fast), min_threshold=float(cfg.min_th_fast),
+        cell=cfg.fast_cell, border=cfg.edge_threshold,
+    )
+    vals, idx = jax.lax.top_k(resp_map.ravel(), budget)
+    valid = vals > 0.0
+    y = idx // W
+    x = idx % W
+
+    moments = ic_angle_maps(img_l)                 # (2, H, W)
+    m10 = moments[0].ravel()[idx]
+    m01 = moments[1].ravel()[idx]
+    angle = jnp.arctan2(m01, m10)
+
+    blurred = quantize_u8(gaussian_blur_7x7(img_l))
+    desc = _descriptors(blurred, x, y, angle)
+
+    xy = jnp.stack([x, y], axis=-1).astype(jnp.float32)
+    return xy, vals, angle, desc, valid
+
+
+def extract(img: jnp.ndarray, cfg: OrbConfig) -> Keypoints:
+    """Full ORB extraction for one grayscale image (H, W) float32 in [0, 255].
+
+    Python loop over static pyramid levels (each level is its own fused XLA
+    subgraph); returns a fixed ``cfg.max_kps``-slot Keypoints struct.
+    """
+    budgets = level_budgets(cfg)
+    H, W = img.shape
+    img = quantize_u8(img)
+
+    xs, rs, angs, descs, octs, valids = [], [], [], [], [], []
+    level_img = img
+    for lvl in range(cfg.n_levels):
+        if lvl > 0:
+            scale = cfg.scale_factor ** lvl
+            sz = (int(round(H / scale)), int(round(W / scale)))
+            level_img = quantize_u8(resize_linear(level_img, sz))
+        xy, resp, ang, desc, valid = _extract_level(level_img, budgets[lvl], cfg)
+        xs.append(xy * (cfg.scale_factor ** lvl))  # back to level-0 coords
+        rs.append(resp)
+        angs.append(ang)
+        descs.append(desc)
+        octs.append(jnp.full((budgets[lvl],), lvl, jnp.int32))
+        valids.append(valid)
+
+    xy = jnp.concatenate(xs)
+    response = jnp.concatenate(rs)
+    angle = jnp.concatenate(angs)
+    desc = jnp.concatenate(descs)
+    octave = jnp.concatenate(octs)
+    valid = jnp.concatenate(valids)
+
+    n = xy.shape[0]
+    pad = cfg.max_kps - n
+    if pad < 0:
+        raise ValueError(f"max_kps={cfg.max_kps} < n_features={n}")
+    if pad:
+        xy = jnp.pad(xy, ((0, pad), (0, 0)))
+        response = jnp.pad(response, (0, pad))
+        angle = jnp.pad(angle, (0, pad))
+        desc = jnp.pad(desc, ((0, pad), (0, 0)))
+        octave = jnp.pad(octave, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+    return Keypoints(xy=xy, response=response, angle=angle,
+                     octave=octave, desc=desc, valid=valid)

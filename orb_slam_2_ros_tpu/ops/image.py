@@ -1,0 +1,59 @@
+"""Whole-image primitives matched to the OpenCV calls in the reference.
+
+- ``gaussian_blur_7x7``: GaussianBlur(Size(7,7), sigma=2, BORDER_REFLECT_101)
+  as used before descriptor sampling (``ORBextractor.cc:1130-1134``).
+- ``resize_linear``: cv::resize INTER_LINEAR (half-pixel centers) used by
+  ``ComputePyramid`` (``ORBextractor.cc:1152-1185``).
+- ``quantize_u8``: round-to-integer emulation of the uint8 storage the C++
+  pipeline uses between stages, so FAST decisions and descriptor bits match
+  the 8-bit reference pipeline on pyramid levels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def gaussian_kernel(ksize: int = 7, sigma: float = 2.0) -> np.ndarray:
+    """cv::getGaussianKernel equivalent (float path)."""
+    r = (ksize - 1) / 2
+    x = np.arange(ksize) - r
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    return (k / k.sum()).astype(np.float32)
+
+
+def gaussian_blur_7x7(img: jnp.ndarray, sigma: float = 2.0) -> jnp.ndarray:
+    """Separable 7x7 blur with reflect-101 borders. img: (H, W) float32."""
+    k = jnp.asarray(gaussian_kernel(7, sigma))
+    pad = 3
+    p = jnp.pad(img, ((pad, pad), (pad, pad)), mode="reflect")
+    # rows then cols via 1D convs expressed as dot over a rolled stack:
+    # gather 7 shifted rows/cols and weight — XLA fuses this into one pass
+    rows = sum(k[i] * p[:, i:i + img.shape[1]] for i in range(7))
+    cols = sum(k[i] * rows[i:i + img.shape[0], :] for i in range(7))
+    return cols
+
+
+def resize_linear(img: jnp.ndarray, shape) -> jnp.ndarray:
+    """Bilinear resize with half-pixel centers (== cv::resize INTER_LINEAR)."""
+    return jax.image.resize(img, shape, method="linear", antialias=False)
+
+
+def quantize_u8(img: jnp.ndarray) -> jnp.ndarray:
+    """Round to integral values in [0, 255] but keep float32 (TPU-friendly)."""
+    return jnp.clip(jnp.round(img), 0.0, 255.0)
+
+
+def max_pool_3x3(x: jnp.ndarray, strict_neighbors: bool = True) -> jnp.ndarray:
+    """Max over the 8-neighborhood (excluding center when strict_neighbors),
+    zero-padded at the border. Used for FAST non-max suppression."""
+    shifts = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+              if not (strict_neighbors and dy == 0 and dx == 0)]
+    H, W = x.shape
+    out = jnp.full_like(x, -jnp.inf)
+    p = jnp.pad(x, 1, constant_values=-jnp.inf)
+    for dy, dx in shifts:
+        out = jnp.maximum(out, p[1 + dy:1 + dy + H, 1 + dx:1 + dx + W])
+    return out
