@@ -1,0 +1,143 @@
+"""Pose-only optimization: single SE3 vertex, unary reprojection edges.
+
+Replaces ``Optimizer::PoseOptimization`` (``Optimizer.cc:265-509``): 4 rounds
+of 10 LM iterations; Huber kernel (delta = sqrt(5.991) mono / sqrt(7.815)
+stereo) active for the first 3 rounds; after each round edges are
+reclassified inlier/outlier by chi2 against the same thresholds, with
+per-octave information scaling invSigma2 = 1.2^(-2*octave). Mono edges are
+2-dof (u, v); stereo/RGB-D edges are 3-dof (u, v, uR) — here unified as 3-dof
+residuals with the third weight zeroed for mono.
+
+All control flow is fixed-trip (`lax.fori_loop` over LM iterations, Python
+loop over the 4 rounds), so the whole routine jits into one XLA program.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam_2_ros_tpu.config import SlamConfig
+from orb_slam_2_ros_tpu.geometry import se3
+
+_EPS = 1e-9
+
+
+def _residual_jacobian(q, t, pts, obs, cfg: SlamConfig):
+    """Per-edge error e = pred - obs (M, 3) and J = de/dxi (M, 3, 6) for the
+    left-multiplied update T <- exp(xi) * T, xi = [rho, phi].
+
+    Analytic Jacobians match g2o's EdgeSE3ProjectXYZOnlyPose /
+    EdgeStereoSE3ProjectXYZOnlyPose linearizeOplus
+    (``types_six_dof_expmap.h:80-174``).
+    """
+    cam = cfg.camera
+    xc = se3.apply(q, t, pts)                       # (M, 3)
+    x, y = xc[:, 0], xc[:, 1]
+    z = jnp.maximum(xc[:, 2], _EPS)
+    iz = 1.0 / z
+    iz2 = iz * iz
+
+    u = cam.fx * x * iz + cam.cx
+    v = cam.fy * y * iz + cam.cy
+    ur = u - cam.bf * iz
+    pred = jnp.stack([u, v, ur], axis=-1)
+    e = pred - obs
+
+    # d(pred)/d(xc)
+    du = jnp.stack([cam.fx * iz, jnp.zeros_like(z), -cam.fx * x * iz2], -1)
+    dv = jnp.stack([jnp.zeros_like(z), cam.fy * iz, -cam.fy * y * iz2], -1)
+    dur = du + jnp.stack([jnp.zeros_like(z), jnp.zeros_like(z), cam.bf * iz2], -1)
+    dpred_dxc = jnp.stack([du, dv, dur], axis=1)    # (M, 3, 3)
+
+    # d(xc)/d(xi) = [I | -[xc]x] for xi = [rho, phi]
+    zeros = jnp.zeros_like(z)
+    skew = jnp.stack([
+        jnp.stack([zeros, xc[:, 2], -xc[:, 1]], -1),
+        jnp.stack([-xc[:, 2], zeros, xc[:, 0]], -1),
+        jnp.stack([xc[:, 1], -xc[:, 0], zeros], -1),
+    ], axis=1)                                      # (M, 3, 3) = -[xc]x
+    eye = jnp.broadcast_to(jnp.eye(3), skew.shape)
+    dxc_dxi = jnp.concatenate([eye, skew], axis=-1)  # (M, 3, 6)
+
+    J = jnp.einsum("mij,mjk->mik", dpred_dxc, dxc_dxi)
+    return e, J, z
+
+
+def _edge_chi2(e, is_stereo, inv_sigma2):
+    """chi2 per edge: mono uses (u, v) only, stereo all three components."""
+    e2_mono = e[:, 0] ** 2 + e[:, 1] ** 2
+    e2_stereo = e2_mono + e[:, 2] ** 2
+    return jnp.where(is_stereo, e2_stereo, e2_mono) * inv_sigma2
+
+
+def pose_optimization(q0, t0, pts, obs_uv, obs_ur, octave, valid, cfg: SlamConfig):
+    """Optimize a single world-to-camera pose against fixed 3D points.
+
+    pts: (M, 3) world points; obs_uv: (M, 2); obs_ur: (M,) (-1 = mono edge);
+    octave: (M,) int32; valid: (M,) bool edge mask.
+
+    Returns (q, t, inlier (M,) bool, n_inliers int32).
+    """
+    sc = cfg.solver
+    is_stereo = obs_ur > 0
+    inv_sigma2 = cfg.orb.scale_factor ** (-2.0 * octave.astype(jnp.float32))
+    obs = jnp.concatenate([obs_uv, obs_ur[:, None]], axis=-1)
+    delta2 = jnp.where(is_stereo, sc.huber_stereo2, sc.huber_mono2)
+    delta = jnp.sqrt(delta2)
+
+    def weighted_system(q, t, edge_mask, use_kernel):
+        e, J, z = _residual_jacobian(q, t, pts, obs, cfg)
+        # zero the uR component for mono edges
+        comp_w = jnp.stack([jnp.ones_like(obs_ur), jnp.ones_like(obs_ur),
+                            is_stereo.astype(jnp.float32)], axis=-1)
+        chi2 = _edge_chi2(e, is_stereo, inv_sigma2)
+        if use_kernel:
+            w_rob = jnp.where(chi2 <= delta2, 1.0,
+                              delta / jnp.maximum(jnp.sqrt(chi2), _EPS))
+        else:
+            w_rob = jnp.ones_like(chi2)
+        w = jnp.where(edge_mask & (z > _EPS), inv_sigma2 * w_rob, 0.0)
+        Wc = comp_w * w[:, None]
+        H = jnp.einsum("mik,mi,mij->kj", J, Wc, J)
+        b = jnp.einsum("mik,mi->k", J, e * Wc)
+        # robust total error (Huber rho) for LM step accept/reject
+        if use_kernel:
+            rho = jnp.where(chi2 <= delta2, chi2,
+                            2.0 * delta * jnp.sqrt(chi2) - delta2)
+        else:
+            rho = chi2
+        err = jnp.sum(jnp.where(edge_mask & (z > _EPS), rho, 0.0))
+        return H, b, err
+
+    def lm_round(q, t, edge_mask, use_kernel, n_iters):
+        _, _, err0 = weighted_system(q, t, edge_mask, use_kernel)
+
+        def body(_, carry):
+            q, t, lam, err = carry
+            H, b, _ = weighted_system(q, t, edge_mask, use_kernel)
+            # Marquardt damping: dimensionless lambda scales diag(H)
+            Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
+            xi = -jnp.linalg.solve(Hd, b)
+            dq, dt = se3.exp(xi)
+            q_new, t_new = se3.compose(dq, dt, q, t)
+            _, _, err_new = weighted_system(q_new, t_new, edge_mask, use_kernel)
+            improved = err_new < err
+            q = jnp.where(improved, q_new, q)
+            t = jnp.where(improved, t_new, t)
+            lam = jnp.clip(jnp.where(improved, lam * 0.3, lam * 5.0), 1e-9, 1e6)
+            err = jnp.where(improved, err_new, err)
+            return q, t, lam, err
+
+        q, t, _, _ = jax.lax.fori_loop(0, n_iters, body, (q, t, 1e-4, err0))
+        return q, t
+
+    q, t = q0, t0
+    inlier = valid
+    for rnd in range(sc.pose_rounds):
+        use_kernel = rnd < sc.pose_rounds - 1   # kernel dropped in last round
+        q, t = lm_round(q, t, inlier, use_kernel, sc.pose_iters)
+        e, _, z = _residual_jacobian(q, t, pts, obs, cfg)
+        chi2 = _edge_chi2(e, is_stereo, inv_sigma2)
+        inlier = valid & (chi2 <= delta2) & (z > _EPS)
+    return q, t, inlier, jnp.sum(inlier.astype(jnp.int32))
