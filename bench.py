@@ -1,0 +1,76 @@
+"""Benchmark: end-to-end RGB-D tracking throughput at the reference operating
+point (640x480, 1200 features, 8 pyramid levels, ``ros/src/Node.cc:320-326``).
+
+Prints ONE JSON line: frames/s on one chip, vs_baseline = fps / 30 (the
+reference claims real-time at sensor rate ~30 fps on an i7, BASELINE.md).
+Rendering happens offline in numpy; the timed loop covers the full device
+pipeline (ORB extraction -> two-stage matching -> pose LM -> keyframe
+insertion when triggered) exactly as the Tracker runs it.
+"""
+
+import json
+import os
+import sys
+import time
+
+# persistent compile cache: the tracking program takes minutes to build
+# through the remote-compile relay, seconds to load from cache
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+
+
+def main():
+    from orb_slam_2_ros_tpu.config import SlamConfig, SENSOR_RGBD
+    from orb_slam_2_ros_tpu.io.synthetic import SyntheticRGBD
+    from orb_slam_2_ros_tpu.io.trajectory import ate_rmse
+    from orb_slam_2_ros_tpu.pipeline.tracking import Tracker, OK
+
+    cfg = SlamConfig(sensor=SENSOR_RGBD)
+    n_frames = 97   # 1 init + 2x16 warm + 64 timed
+    print(f"rendering {n_frames} synthetic frames...", file=sys.stderr)
+    ds = SyntheticRGBD(cfg, n_frames=n_frames, seed=0)
+    frames = [ds[i] for i in range(n_frames)]
+
+    # force the relay out of its async-deception mode so timings are honest
+    # (block_until_ready lies until the first device->host fetch happens)
+    import jax
+    import jax.numpy as jnp
+    _ = float(jax.device_get(jax.jit(lambda: jnp.float32(1.0))()))
+
+    tracker = Tracker(cfg)
+    grays = np.stack([f[0] for f in frames])
+    depths = np.stack([f[1] for f in frames])
+    # warmup / compile: two full chunks; NO fetches before the timed region
+    # (one device fetch permanently slows every later launch ~30x)
+    n_warm = 2 * Tracker.CHUNK
+    tracker.process_chunk(grays[:n_warm], depths[:n_warm],
+                          ds.timestamps[:n_warm], defer_fetch=True)
+    jax.block_until_ready(tracker.carry.q)
+    t0 = time.perf_counter()
+    tracker.process_chunk(grays[n_warm:], depths[n_warm:],
+                          ds.timestamps[n_warm:], defer_fetch=True)
+    jax.block_until_ready(tracker.carry.q)
+    dt = time.perf_counter() - t0
+    fps = (n_frames - n_warm) / dt
+    recs = tracker.flush()
+    assert all(r.state == OK for r in recs[n_warm:]), "tracking lost"
+
+    est = np.stack([r.c_w for r in tracker.records])
+    gt = np.stack([ds.gt_pose_wc(i)[1] for i in range(n_frames)])
+    ate = ate_rmse(est, gt)
+    print(f"ATE {ate:.4f} m, {tracker.n_kfs} keyframes, "
+          f"{int(tracker.map.n_mps)} points", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "rgbd_tracking_fps_1chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 30.0, 2),
+        "ate_m": round(ate, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

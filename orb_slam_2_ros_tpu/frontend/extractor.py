@@ -107,7 +107,10 @@ def _brief_pattern() -> np.ndarray:
 
 
 def ic_angle_maps(img: jnp.ndarray) -> jnp.ndarray:
-    """(2, H, W) moment maps m10, m01 for every pixel via conv (MXU)."""
+    """(2, H, W) moment maps m10, m01 for every pixel via conv (MXU).
+
+    Kept for oracle tests; the production path uses ic_angles_at (per-keypoint
+    prefix-sum lookups — ~100x less arithmetic)."""
     k = jnp.asarray(_ic_angle_kernels())
     out = jax.lax.conv_general_dilated(
         img[None, None, :, :], k,
@@ -115,6 +118,38 @@ def ic_angle_maps(img: jnp.ndarray) -> jnp.ndarray:
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )
     return out[0]
+
+
+def ic_angles_at(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """IC angles at integer keypoint positions via row prefix sums.
+
+    Exactly the circular-patch moments of IC_Angle (``ORBextractor.cc:77-104``):
+    each patch row's sums come from two cumsum lookups instead of a 31-tap
+    correlation, so the cost is ~125 gathers per keypoint instead of a 31x31
+    whole-image conv. Keypoints must lie >= 16 px from the border (they do:
+    detection uses edge_threshold >= 19).
+    """
+    H, W = img.shape
+    um = umax_table()
+    col = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    P0 = jnp.cumsum(img, axis=1)
+    P1 = jnp.cumsum(img * col, axis=1)
+    P0f = P0.ravel()
+    P1f = P1.ravel()
+
+    xf = x.astype(jnp.float32)
+    m10 = jnp.zeros(x.shape, jnp.float32)
+    m01 = jnp.zeros(x.shape, jnp.float32)
+    for v in range(-HALF_PATCH, HALF_PATCH + 1):
+        d = um[abs(v)]
+        base = (y + v) * W
+        hi = jnp.clip(base + x + d, 0, H * W - 1)       # invalid slots only
+        lo = jnp.clip(base + x - d - 1, 0, H * W - 1)
+        s0 = P0f[hi] - P0f[lo]
+        s1 = P1f[hi] - P1f[lo]
+        m10 = m10 + (s1 - xf * s0)
+        m01 = m01 + float(v) * s0
+    return jnp.arctan2(m01, m10)
 
 
 def _pack_bits_u32(bits: jnp.ndarray) -> jnp.ndarray:
@@ -157,15 +192,15 @@ def _extract_level(img_l: jnp.ndarray, budget: int, cfg: OrbConfig):
         threshold=float(cfg.ini_th_fast), min_threshold=float(cfg.min_th_fast),
         cell=cfg.fast_cell, border=cfg.edge_threshold,
     )
-    vals, idx = jax.lax.top_k(resp_map.ravel(), budget)
+    # approx_max_k is the TPU-native top-k (bucketed, ~0.95 recall) — corner
+    # selection tolerates missing a few near-budget responses
+    vals, idx = jax.lax.approx_max_k(resp_map.ravel(), budget,
+                                     recall_target=0.95)
     valid = vals > 0.0
     y = idx // W
     x = idx % W
 
-    moments = ic_angle_maps(img_l)                 # (2, H, W)
-    m10 = moments[0].ravel()[idx]
-    m01 = moments[1].ravel()[idx]
-    angle = jnp.arctan2(m01, m10)
+    angle = ic_angles_at(img_l, x, y)
 
     blurred = quantize_u8(gaussian_blur_7x7(img_l))
     desc = _descriptors(blurred, x, y, angle)
@@ -180,17 +215,26 @@ def extract(img: jnp.ndarray, cfg: OrbConfig) -> Keypoints:
     Python loop over static pyramid levels (each level is its own fused XLA
     subgraph); returns a fixed ``cfg.max_kps``-slot Keypoints struct.
     """
+    kps, _ = extract_with_pyramid(img, cfg)
+    return kps
+
+
+def extract_with_pyramid(img: jnp.ndarray, cfg: OrbConfig):
+    """extract() that also returns the unblurred pyramid level images
+    (needed by the stereo SAD refinement, frontend/stereo.py)."""
     budgets = level_budgets(cfg)
     H, W = img.shape
     img = quantize_u8(img)
 
     xs, rs, angs, descs, octs, valids = [], [], [], [], [], []
+    pyramid = []
     level_img = img
     for lvl in range(cfg.n_levels):
         if lvl > 0:
             scale = cfg.scale_factor ** lvl
             sz = (int(round(H / scale)), int(round(W / scale)))
             level_img = quantize_u8(resize_linear(level_img, sz))
+        pyramid.append(level_img)
         xy, resp, ang, desc, valid = _extract_level(level_img, budgets[lvl], cfg)
         xs.append(xy * (cfg.scale_factor ** lvl))  # back to level-0 coords
         rs.append(resp)
@@ -218,4 +262,4 @@ def extract(img: jnp.ndarray, cfg: OrbConfig) -> Keypoints:
         octave = jnp.pad(octave, (0, pad))
         valid = jnp.pad(valid, (0, pad))
     return Keypoints(xy=xy, response=response, angle=angle,
-                     octave=octave, desc=desc, valid=valid)
+                     octave=octave, desc=desc, valid=valid), pyramid

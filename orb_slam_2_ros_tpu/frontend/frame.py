@@ -44,6 +44,22 @@ def build_mono(gray: jnp.ndarray, cfg: SlamConfig) -> Frame:
     return Frame(kps=kps, uv=uv, u_right=neg, depth=neg)
 
 
+def build_stereo(gray_l: jnp.ndarray, gray_r: jnp.ndarray,
+                 cfg: SlamConfig) -> Frame:
+    """Rectified stereo frame (``Frame.cc:62-118``): ORB on both images (the
+    reference uses two std::threads, ``Frame.cc:79-82`` — here one fused
+    program), then epipolar-band matching with subpixel SAD disparity
+    (frontend/stereo.py)."""
+    from orb_slam_2_ros_tpu.frontend import stereo as stereo_mod
+    kl, pyr_l = extractor.extract_with_pyramid(gray_l, cfg.orb)
+    kr, pyr_r = extractor.extract_with_pyramid(gray_r, cfg.orb)
+    uv = camera.undistort_pixels(cfg.camera, kl.xy)
+    ur, depth = stereo_mod.compute_stereo_matches(
+        kl, kr, stereo_mod.flatten_pyramid(pyr_l),
+        stereo_mod.flatten_pyramid(pyr_r), cfg)
+    return Frame(kps=kl, uv=uv, u_right=ur, depth=depth)
+
+
 def build_rgbd(gray: jnp.ndarray, depth_img: jnp.ndarray, cfg: SlamConfig) -> Frame:
     """RGB-D frame (``Frame.cc:62-118`` + ``ComputeStereoFromRGBD``
     ``Frame.cc:679-701``): depth sampled at the raw keypoint pixel, pseudo

@@ -1,0 +1,161 @@
+"""Dataset loaders: TUM RGB-D, KITTI odometry, EuRoC MAV.
+
+The topic-free replacement for the reference's ROS subscribers
+(``MonoNode.cc``/``StereoNode.cc``/``RGBDNode.cc``, §2.20 of SURVEY.md):
+directory-layout loaders that yield numpy frames + timestamps, mirroring the
+rosbag playback fixtures the reference ecosystem uses for evaluation
+(``ros/launch/D435_rosbag.launch``, ``orb_slam2_tum2_rgbd.launch``).
+
+All loaders duck-type: __len__, __getitem__ -> frame tuple, .timestamps.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:                      # pragma: no cover
+    cv2 = None
+
+
+def _imread_gray(path: str) -> np.ndarray:
+    img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+    if img is None:
+        raise FileNotFoundError(path)
+    return img.astype(np.float32)
+
+
+def associate(ts_a: np.ndarray, ts_b: np.ndarray,
+              max_dt: float = 0.02) -> List[Tuple[int, int]]:
+    """Greedy nearest-timestamp association (the TUM associate.py algorithm
+    the reference ecosystem uses to pair rgb/depth streams)."""
+    pairs = []
+    j = 0
+    used = set()
+    for i, ta in enumerate(ts_a):
+        j = int(np.searchsorted(ts_b, ta))
+        best, best_dt = -1, max_dt
+        for cand in (j - 1, j, j + 1):
+            if 0 <= cand < len(ts_b) and cand not in used:
+                dt = abs(ts_b[cand] - ta)
+                if dt < best_dt:
+                    best, best_dt = cand, dt
+        if best >= 0:
+            used.add(best)
+            pairs.append((i, best))
+    return pairs
+
+
+class TumRGBD:
+    """TUM RGB-D directory: rgb.txt / depth.txt / rgb/ depth/ folders.
+
+    Depth PNGs are 16-bit with factor 5000 (``depth_map_factor``,
+    ``Tracking.cc:151-157``); frames come back as (gray float32 [0,255],
+    depth float32 metres with <=0 for missing).
+    """
+
+    def __init__(self, root: str, depth_factor: float = 5000.0):
+        self.root = root
+        self.depth_factor = depth_factor
+
+        def read_list(name):
+            ts, files = [], []
+            with open(os.path.join(root, name)) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line or line.startswith("#"):
+                        continue
+                    t, p = line.split()[:2]
+                    ts.append(float(t))
+                    files.append(p)
+            return np.array(ts), files
+
+        rgb_ts, rgb_files = read_list("rgb.txt")
+        d_ts, d_files = read_list("depth.txt")
+        pairs = associate(rgb_ts, d_ts)
+        self.timestamps = [rgb_ts[i] for i, _ in pairs]
+        self.rgb_files = [rgb_files[i] for i, _ in pairs]
+        self.depth_files = [d_files[j] for _, j in pairs]
+
+    def __len__(self):
+        return len(self.rgb_files)
+
+    def __getitem__(self, i):
+        gray = _imread_gray(os.path.join(self.root, self.rgb_files[i]))
+        d16 = cv2.imread(os.path.join(self.root, self.depth_files[i]),
+                         cv2.IMREAD_UNCHANGED)
+        depth = d16.astype(np.float32) / self.depth_factor
+        depth[d16 == 0] = -1.0
+        return gray, depth
+
+    def gt_trajectory(self):
+        """(timestamps, poses_wc) from groundtruth.txt if present."""
+        from orb_slam_2_ros_tpu.io.trajectory import read_tum
+        return read_tum(os.path.join(self.root, "groundtruth.txt"))
+
+
+class KittiOdometry:
+    """KITTI odometry sequence dir: image_0/ image_1/ times.txt (+ poses)."""
+
+    def __init__(self, seq_dir: str, poses_file: str = None):
+        self.seq_dir = seq_dir
+        with open(os.path.join(seq_dir, "times.txt")) as f:
+            self.timestamps = [float(x) for x in f if x.strip()]
+        self.left_dir = os.path.join(seq_dir, "image_0")
+        self.right_dir = os.path.join(seq_dir, "image_1")
+        self.n = len(self.timestamps)
+        self.poses_file = poses_file
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        name = f"{i:06d}.png"
+        left = _imread_gray(os.path.join(self.left_dir, name))
+        right = _imread_gray(os.path.join(self.right_dir, name))
+        return left, right
+
+    def gt_trajectory(self):
+        poses = []
+        with open(self.poses_file) as f:
+            for line in f:
+                v = np.fromstring(line, sep=" ").reshape(3, 4)
+                poses.append((v[:, :3], v[:, 3]))
+        return np.array(self.timestamps), poses
+
+
+class EurocMav:
+    """EuRoC MAV dir: mav0/cam0/data + cam1/data with data.csv stamps."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+        def read_cam(cam):
+            base = os.path.join(root, "mav0", cam)
+            ts, files = [], []
+            with open(os.path.join(base, "data.csv")) as f:
+                for line in f:
+                    if line.startswith("#") or not line.strip():
+                        continue
+                    t, name = line.strip().split(",")[:2]
+                    ts.append(float(t) * 1e-9)
+                    files.append(os.path.join(base, "data", name))
+            return np.array(ts), files
+
+        t0, f0 = read_cam("cam0")
+        t1, f1 = read_cam("cam1")
+        pairs = associate(t0, t1, max_dt=0.005)
+        self.timestamps = [t0[i] for i, _ in pairs]
+        self.left_files = [f0[i] for i, _ in pairs]
+        self.right_files = [f1[j] for _, j in pairs]
+
+    def __len__(self):
+        return len(self.left_files)
+
+    def __getitem__(self, i):
+        return (_imread_gray(self.left_files[i]),
+                _imread_gray(self.right_files[i]))

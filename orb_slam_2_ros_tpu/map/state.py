@@ -1,0 +1,402 @@
+"""MapState: the whole SLAM map as one pytree of fixed-shape arrays.
+
+Functional analog of ``Map`` + ``KeyFrame`` + ``MapPoint`` (§2.12-2.14 of
+SURVEY.md). Keyframes are rows of pooled arrays (pose, features, and the
+kp->map-point observation table ``kf_mp``); map points are rows of point
+pools. Everything the reference maintains incrementally under mutexes
+(observation maps ``MapPoint.cc:122-165``, covisibility weights
+``KeyFrame.cc:344-460``, viewing normals and scale bands
+``MapPoint.cc:388-452``) is recomputed here from the observation table in
+single batched passes — cheap on TPU, and trivially consistent.
+
+The observation table ``kf_mp (K, P) int32`` IS the edge list for bundle
+adjustment: edge (k, p) exists iff kf_mp[k, p] >= 0.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam_2_ros_tpu.config import SlamConfig
+from orb_slam_2_ros_tpu.frontend.frame import Frame
+from orb_slam_2_ros_tpu.geometry import se3
+
+
+class MapState(NamedTuple):
+    # --- keyframe pool (K rows) ---
+    kf_q: jnp.ndarray        # (K, 4) world->camera rotation
+    kf_t: jnp.ndarray        # (K, 3)
+    kf_valid: jnp.ndarray    # (K,) bool
+    kf_frame_id: jnp.ndarray  # (K,) int32 source frame index
+    # per-keyframe features (frozen copy of the source Frame)
+    kf_uv: jnp.ndarray       # (K, P, 2) undistorted
+    kf_ur: jnp.ndarray       # (K, P) right coord or -1
+    kf_depth: jnp.ndarray    # (K, P) metric depth or -1
+    kf_octave: jnp.ndarray   # (K, P) int32
+    kf_angle: jnp.ndarray    # (K, P) float32
+    kf_desc: jnp.ndarray     # (K, P, 8) uint32
+    kf_kp_valid: jnp.ndarray  # (K, P) bool
+    kf_mp: jnp.ndarray       # (K, P) int32 map-point id or -1  [observations]
+    # --- map-point pool (M rows) ---
+    mp_pos: jnp.ndarray      # (M, 3) world
+    mp_valid: jnp.ndarray    # (M,) bool
+    mp_desc: jnp.ndarray     # (M, 8) uint32 representative descriptor
+    mp_normal: jnp.ndarray   # (M, 3) mean viewing direction
+    mp_min_dist: jnp.ndarray  # (M,) scale-invariance band
+    mp_max_dist: jnp.ndarray  # (M,)
+    mp_first_kf: jnp.ndarray  # (M,) int32 creating keyframe
+    mp_dir_sum: jnp.ndarray   # (M, 3) running sum of unit viewing directions
+    mp_obs_cnt: jnp.ndarray   # (M,) int32 running observation count
+    # --- counters ---
+    n_kfs: jnp.ndarray       # () int32 next keyframe row
+    n_mps: jnp.ndarray       # () int32 next map-point row (monotone alloc)
+
+    @property
+    def K(self):
+        return self.kf_q.shape[0]
+
+    @property
+    def M(self):
+        return self.mp_pos.shape[0]
+
+    @property
+    def P(self):
+        return self.kf_uv.shape[1]
+
+
+def empty(cfg: SlamConfig) -> MapState:
+    K, M, P = cfg.map.max_kfs, cfg.map.max_mps, cfg.map.max_kps
+    f32, i32 = jnp.float32, jnp.int32
+    return MapState(
+        kf_q=jnp.tile(jnp.array([1.0, 0, 0, 0], f32), (K, 1)),
+        kf_t=jnp.zeros((K, 3), f32),
+        kf_valid=jnp.zeros((K,), bool),
+        kf_frame_id=jnp.full((K,), -1, i32),
+        kf_uv=jnp.zeros((K, P, 2), f32),
+        kf_ur=jnp.full((K, P), -1.0, f32),
+        kf_depth=jnp.full((K, P), -1.0, f32),
+        kf_octave=jnp.zeros((K, P), i32),
+        kf_angle=jnp.zeros((K, P), f32),
+        kf_desc=jnp.zeros((K, P, 8), jnp.uint32),
+        kf_kp_valid=jnp.zeros((K, P), bool),
+        kf_mp=jnp.full((K, P), -1, i32),
+        mp_pos=jnp.zeros((M, 3), f32),
+        mp_valid=jnp.zeros((M,), bool),
+        mp_desc=jnp.zeros((M, 8), jnp.uint32),
+        mp_normal=jnp.zeros((M, 3), f32),
+        mp_min_dist=jnp.zeros((M,), f32),
+        mp_max_dist=jnp.full((M,), 1e9, f32),
+        mp_first_kf=jnp.full((M,), -1, i32),
+        mp_dir_sum=jnp.zeros((M, 3), f32),
+        mp_obs_cnt=jnp.zeros((M,), i32),
+        n_kfs=jnp.zeros((), i32),
+        n_mps=jnp.zeros((), i32),
+    )
+
+
+def insert_keyframe(state: MapState, frame: Frame, q, t, frame_id,
+                    kp_to_mp: jnp.ndarray):
+    """Append the frame as keyframe row ``n_kfs`` with its current map-point
+    associations (``Tracking::CreateNewKeyFrame``, ``Tracking.cc:1204-1219``).
+
+    Returns (state, kf_id). Does NOT spawn new points — see spawn_points.
+    """
+    k = state.n_kfs
+    state = state._replace(
+        kf_q=state.kf_q.at[k].set(q),
+        kf_t=state.kf_t.at[k].set(t),
+        kf_valid=state.kf_valid.at[k].set(True),
+        kf_frame_id=state.kf_frame_id.at[k].set(frame_id),
+        kf_uv=state.kf_uv.at[k].set(frame.uv),
+        kf_ur=state.kf_ur.at[k].set(frame.u_right),
+        kf_depth=state.kf_depth.at[k].set(frame.depth),
+        kf_octave=state.kf_octave.at[k].set(frame.kps.octave),
+        kf_angle=state.kf_angle.at[k].set(frame.kps.angle),
+        kf_desc=state.kf_desc.at[k].set(frame.kps.desc),
+        kf_kp_valid=state.kf_kp_valid.at[k].set(frame.kps.valid),
+        kf_mp=state.kf_mp.at[k].set(jnp.where(frame.kps.valid, kp_to_mp, -1)),
+        n_kfs=k + 1,
+    )
+    return state, k
+
+
+def spawn_points(state: MapState, kf_id, cfg: SlamConfig,
+                 close_only: bool = True, max_spawn: int = 512):
+    """Create map points from the keyframe's depth channel for keypoints not
+    yet associated (``Tracking::CreateNewKeyFrame`` depth-sorted spawning,
+    ``Tracking.cc:1240-1296``; ``StereoInitialization`` spawns everything,
+    ``Tracking.cc:565-590``).
+
+    close_only limits to depth < th_depth * baseline like the reference's
+    close/far split; the nearest ``max_spawn`` eligible points are spawned
+    (static cap replacing the reference's dynamic 100-point top-up).
+    """
+    cam = cfg.camera
+    P = state.P
+    depth = state.kf_depth[kf_id]
+    eligible = (state.kf_kp_valid[kf_id] & (depth > 0) & (state.kf_mp[kf_id] < 0))
+    if close_only:
+        th_close = cam.bf / cam.fx * cam.th_depth
+        eligible = eligible & (depth < th_close)
+
+    # nearest-first static cap: rank eligible keypoints by depth
+    rank_key = jnp.where(eligible, depth, jnp.inf)
+    order = jnp.argsort(rank_key)                       # eligible first, by depth
+    ranks = jnp.zeros((P,), jnp.int32).at[order].set(jnp.arange(P, dtype=jnp.int32))
+    capacity_left = state.M - state.n_mps
+    spawn = eligible & (ranks < max_spawn) & (ranks < capacity_left)
+    new_id = jnp.where(spawn, state.n_mps + ranks, -1)
+
+    # backproject to world
+    q, t = state.kf_q[kf_id], state.kf_t[kf_id]
+    uv = state.kf_uv[kf_id]
+    xy = (uv - jnp.array([cam.cx, cam.cy])) / jnp.array([cam.fx, cam.fy])
+    xc = jnp.concatenate([xy * depth[:, None], depth[:, None]], axis=-1)
+    qi, ti = se3.inverse(q, t)
+    xw = se3.apply(qi, ti, xc)
+
+    tgt = jnp.where(spawn, new_id, state.M)  # overflow row for non-spawns
+    ow = se3.camera_center(q, t)
+    dirs = xw - ow
+    dist = jnp.linalg.norm(dirs, axis=-1)
+    sf = cfg.orb.scale_factor ** state.kf_octave[kf_id].astype(jnp.float32)
+    max_d = dist * sf
+    min_d = max_d / (cfg.orb.scale_factor ** (cfg.orb.n_levels - 1))
+
+    def scat(pool, vals):
+        padded = jnp.concatenate([pool, jnp.zeros_like(pool[:1])], axis=0)
+        return padded.at[tgt].set(vals)[:-1]
+
+    state = state._replace(
+        mp_pos=scat(state.mp_pos, xw),
+        mp_valid=scat(state.mp_valid, spawn),
+        mp_desc=scat(state.mp_desc, state.kf_desc[kf_id]),
+        mp_normal=scat(state.mp_normal, dirs / jnp.maximum(dist[:, None], 1e-9)),
+        mp_min_dist=scat(state.mp_min_dist, 0.8 * min_d),
+        mp_max_dist=scat(state.mp_max_dist, 1.2 * max_d),
+        mp_first_kf=scat(state.mp_first_kf, jnp.full((P,), 1, jnp.int32) * kf_id),
+        mp_dir_sum=scat(state.mp_dir_sum, dirs / jnp.maximum(dist[:, None], 1e-9)),
+        mp_obs_cnt=scat(state.mp_obs_cnt, jnp.ones((P,), jnp.int32)),
+        kf_mp=state.kf_mp.at[kf_id].set(
+            jnp.where(spawn, new_id, state.kf_mp[kf_id])),
+        n_mps=state.n_mps + jnp.sum(spawn.astype(jnp.int32)),
+    )
+    return state
+
+
+def observation_count(state: MapState) -> jnp.ndarray:
+    """(M,) number of keyframes observing each map point."""
+    obs = jnp.where(state.kf_valid[:, None], state.kf_mp, -1)
+    flat = obs.ravel()
+    ok = flat >= 0
+    tgt = jnp.where(ok, flat, state.M)
+    cnt = jnp.zeros((state.M + 1,), jnp.int32).at[tgt].add(ok.astype(jnp.int32))
+    return cnt[:state.M]
+
+
+def refresh_point_stats(state: MapState, cfg: SlamConfig) -> MapState:
+    """Recompute viewing normals, scale-invariance bands, and representative
+    descriptors for ALL map points in one pass over the observation table
+    (``MapPoint::UpdateNormalAndDepth`` ``MapPoint.cc:388-452``,
+    ``ComputeDistinctiveDescriptors`` ``MapPoint.cc:288-361``).
+
+    Descriptor policy: the reference keeps the observation with minimum
+    median Hamming distance to the others; as a batched stand-in we keep the
+    descriptor of the most recent observation (newest keyframe), which tracks
+    appearance drift. Documented deviation.
+    """
+    K, P, M = state.K, state.P, state.M
+    obs_mp = jnp.where(state.kf_valid[:, None], state.kf_mp, -1)   # (K, P)
+    flat_mp = obs_mp.ravel()
+    ok = flat_mp >= 0
+    tgt = jnp.where(ok, flat_mp, M)
+
+    centers = se3.camera_center(state.kf_q, state.kf_t)            # (K, 3)
+    cen = jnp.repeat(centers, P, axis=0)                           # (K*P, 3)
+    pos = state.mp_pos[jnp.clip(flat_mp, 0)]                       # (K*P, 3)
+    d = pos - cen
+    dist = jnp.linalg.norm(d, axis=-1)
+    dirs = d / jnp.maximum(dist[:, None], 1e-9)
+
+    nsum = jnp.zeros((M + 1, 3)).at[tgt].add(jnp.where(ok[:, None], dirs, 0.0))[:M]
+    norm = jnp.linalg.norm(nsum, axis=-1, keepdims=True)
+    normal = nsum / jnp.maximum(norm, 1e-9)
+
+    # scale band + descriptor from the newest observation
+    kf_ids = jnp.repeat(jnp.arange(K, dtype=jnp.int32), P)
+    newest = jnp.zeros((M + 1,), jnp.int32).at[tgt].max(
+        jnp.where(ok, kf_ids + 1, 0))[:M] - 1                      # (M,) kf id or -1
+    has_obs = newest >= 0
+    oct_flat = state.kf_octave.ravel()
+    is_newest = ok & (kf_ids == newest[jnp.clip(flat_mp, 0)])
+
+    dist_new = jnp.zeros((M + 1,)).at[jnp.where(is_newest, flat_mp, M)].max(
+        jnp.where(is_newest, dist, 0.0))[:M]
+    oct_new = jnp.zeros((M + 1,), jnp.int32).at[jnp.where(is_newest, flat_mp, M)].max(
+        jnp.where(is_newest, oct_flat, 0))[:M]
+    sf = cfg.orb.scale_factor ** oct_new.astype(jnp.float32)
+    max_d = dist_new * sf
+    min_d = max_d / (cfg.orb.scale_factor ** (cfg.orb.n_levels - 1))
+    desc_flat = state.kf_desc.reshape(-1, 8)
+    tgt_new = jnp.where(is_newest, flat_mp, M)
+    desc = jnp.zeros((M + 1, 8), jnp.uint32).at[tgt_new].max(
+        jnp.where(is_newest[:, None], desc_flat, 0))[:M]
+    keep = state.mp_valid & has_obs
+    cnt = jnp.zeros((M + 1,), jnp.int32).at[tgt].add(ok.astype(jnp.int32))[:M]
+    return state._replace(
+        mp_normal=jnp.where(keep[:, None], normal, state.mp_normal),
+        mp_max_dist=jnp.where(keep, 1.2 * max_d, state.mp_max_dist),
+        mp_min_dist=jnp.where(keep, 0.8 * min_d, state.mp_min_dist),
+        mp_desc=jnp.where(keep[:, None], desc, state.mp_desc),
+        # rebuild the incremental pools so commit_keyframe stays consistent
+        mp_dir_sum=jnp.where(keep[:, None], nsum, state.mp_dir_sum),
+        mp_obs_cnt=jnp.where(state.mp_valid, cnt, state.mp_obs_cnt),
+    )
+
+
+def covisibility(state: MapState) -> jnp.ndarray:
+    """(K, K) shared-observation counts — the covisibility graph
+    (``KeyFrame::UpdateConnections``, ``KeyFrame.cc:344-460``) as one
+    incidence matmul on the MXU."""
+    K, M = state.K, state.M
+    obs = jnp.where(state.kf_valid[:, None], state.kf_mp, -1)
+    ok = obs >= 0
+    tgt = jnp.where(ok, obs, M)
+    inc = jnp.zeros((K, M + 1), jnp.float32)
+    inc = inc.at[jnp.arange(K)[:, None], tgt].set(ok.astype(jnp.float32))
+    inc = inc[:, :M] * state.mp_valid[None, :]
+    cov = inc @ inc.T
+    return (cov - jnp.diag(jnp.diag(cov))).astype(jnp.int32)
+
+
+def commit_keyframe(state: MapState, frame: Frame, q, t, frame_id,
+                    kp_to_mp: jnp.ndarray, need, cfg: SlamConfig,
+                    close_only: bool = True, max_spawn: int = 512,
+                    allow_far=None):
+    """Branch-free (predicated) keyframe insertion + point spawning +
+    incremental point-stat update, for use inside `lax.scan` loops.
+
+    When ``need`` is False every write is redirected to dead slots / masked
+    out and the counters do not advance, so the op is a data-flow no-op —
+    this avoids `lax.cond`, whose untaken heavy branch still costs dozens of
+    ms per scan step on TPU. Incremental stats replace the full
+    refresh_point_stats rebuild: running direction sums give the mean viewing
+    normal exactly, and the scale band/descriptor are refreshed from this
+    (newest) observation, matching the refresh policy.
+
+    Returns (state, kf_mp_row): the observation row of the (possibly
+    uncommitted) keyframe; callers should use it only when ``need``.
+    """
+    cam = cfg.camera
+    P = state.P
+    M = state.M
+    k = jnp.minimum(state.n_kfs, state.K - 1)
+    needf = need.astype(jnp.float32)
+    kp_mp = jnp.where(frame.kps.valid & need, kp_to_mp, -1)
+
+    # --- write the keyframe row (row is reused by the next real insert if
+    # this one is not committed; kf_valid gates all consumers)
+    state = state._replace(
+        kf_q=state.kf_q.at[k].set(q),
+        kf_t=state.kf_t.at[k].set(t),
+        kf_valid=state.kf_valid.at[k].set(
+            need | (state.kf_valid[k] & (state.n_kfs > k))),
+        kf_frame_id=state.kf_frame_id.at[k].set(frame_id),
+        kf_uv=state.kf_uv.at[k].set(frame.uv),
+        kf_ur=state.kf_ur.at[k].set(frame.u_right),
+        kf_depth=state.kf_depth.at[k].set(frame.depth),
+        kf_octave=state.kf_octave.at[k].set(frame.kps.octave),
+        kf_angle=state.kf_angle.at[k].set(frame.kps.angle),
+        kf_desc=state.kf_desc.at[k].set(frame.kps.desc),
+        kf_kp_valid=state.kf_kp_valid.at[k].set(frame.kps.valid & need),
+        kf_mp=state.kf_mp.at[k].set(kp_mp),
+    )
+
+    # --- incremental stats for points matched by this keyframe
+    qi, ti = se3.inverse(q, t)
+    ow = se3.camera_center(q, t)
+    obs_mask = (kp_mp >= 0) & need
+    mp_ids = jnp.where(obs_mask, kp_mp, M)          # overflow slot M
+    pw = state.mp_pos[jnp.clip(kp_mp, 0)]
+    d = pw - ow
+    dist = jnp.linalg.norm(d, axis=-1)
+    dirs = d / jnp.maximum(dist[:, None], 1e-9)
+    sf = cfg.orb.scale_factor ** frame.kps.octave.astype(jnp.float32)
+    max_d = dist * sf
+    min_d = max_d / (cfg.orb.scale_factor ** (cfg.orb.n_levels - 1))
+
+    def pad(pool):
+        return jnp.concatenate([pool, jnp.zeros_like(pool[:1])], axis=0)
+
+    dir_sum = pad(state.mp_dir_sum).at[mp_ids].add(
+        jnp.where(obs_mask[:, None], dirs, 0.0))[:M]
+    obs_cnt = pad(state.mp_obs_cnt).at[mp_ids].add(
+        obs_mask.astype(jnp.int32))[:M]
+    norm = jnp.linalg.norm(dir_sum, axis=-1, keepdims=True)
+    state = state._replace(
+        mp_dir_sum=dir_sum,
+        mp_obs_cnt=obs_cnt,
+        mp_normal=jnp.where((obs_cnt > 0)[:, None],
+                            dir_sum / jnp.maximum(norm, 1e-9),
+                            state.mp_normal),
+        mp_max_dist=pad(state.mp_max_dist).at[mp_ids].set(
+            jnp.where(obs_mask, 1.2 * max_d, 0.0))[:M],
+        mp_min_dist=pad(state.mp_min_dist).at[mp_ids].set(
+            jnp.where(obs_mask, 0.8 * min_d, 0.0))[:M],
+        mp_desc=pad(state.mp_desc).at[mp_ids].set(
+            jnp.where(obs_mask[:, None], frame.kps.desc, 0))[:M],
+    )
+
+    # --- predicated spawning (close points, nearest-first static cap)
+    depth = frame.depth
+    eligible = frame.kps.valid & (depth > 0) & (kp_mp < 0) & need
+    if close_only:
+        th_close = cam.bf / cam.fx * cam.th_depth
+        close = depth < th_close
+        if allow_far is not None:
+            # e.g. initialization spawns all depths (Tracking.cc:565-590)
+            close = close | allow_far
+        eligible = eligible & close
+    rank_key = jnp.where(eligible, depth, jnp.inf)
+    order = jnp.argsort(rank_key)
+    ranks = jnp.zeros((P,), jnp.int32).at[order].set(
+        jnp.arange(P, dtype=jnp.int32))
+    capacity_left = M - state.n_mps
+    spawn = eligible & (ranks < max_spawn) & (ranks < capacity_left)
+    new_id = jnp.where(spawn, state.n_mps + ranks, -1)
+
+    uv = frame.uv
+    xy = (uv - jnp.array([cam.cx, cam.cy])) / jnp.array([cam.fx, cam.fy])
+    xc = jnp.concatenate([xy * depth[:, None], depth[:, None]], axis=-1)
+    xw = se3.apply(qi, ti, xc)
+    tgt = jnp.where(spawn, new_id, M)
+    dirs_s = xw - ow
+    dist_s = jnp.linalg.norm(dirs_s, axis=-1)
+    max_ds = dist_s * sf
+    min_ds = max_ds / (cfg.orb.scale_factor ** (cfg.orb.n_levels - 1))
+
+    def scat(pool, vals):
+        return pad(pool).at[tgt].set(vals)[:-1]
+
+    kf_mp_row = jnp.where(spawn, new_id, kp_mp)
+    state = state._replace(
+        mp_pos=scat(state.mp_pos, xw),
+        mp_valid=scat(state.mp_valid, spawn),
+        mp_desc=scat(state.mp_desc, frame.kps.desc),
+        mp_normal=scat(state.mp_normal,
+                       dirs_s / jnp.maximum(dist_s[:, None], 1e-9)),
+        mp_min_dist=scat(state.mp_min_dist, 0.8 * min_ds),
+        mp_max_dist=scat(state.mp_max_dist, 1.2 * max_ds),
+        mp_first_kf=scat(state.mp_first_kf,
+                         jnp.full((P,), 1, jnp.int32) * k),
+        mp_dir_sum=scat(state.mp_dir_sum,
+                        dirs_s / jnp.maximum(dist_s[:, None], 1e-9)),
+        mp_obs_cnt=scat(state.mp_obs_cnt, jnp.ones((P,), jnp.int32)),
+        kf_mp=state.kf_mp.at[k].set(kf_mp_row),
+        n_kfs=state.n_kfs + need.astype(jnp.int32),
+        n_mps=state.n_mps + jnp.sum(spawn.astype(jnp.int32)),
+    )
+    return state, kf_mp_row

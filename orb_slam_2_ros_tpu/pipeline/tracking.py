@@ -1,0 +1,317 @@
+"""Tracking front end: per-frame pose estimation against the map.
+
+Replaces ``Tracking.cc`` (1809 LoC state machine). The reference's flow —
+GrabImage -> Frame -> TrackWithMotionModel -> TrackLocalMap ->
+NeedNewKeyFrame -> CreateNewKeyFrame (``Tracking.cc:279-542``) — runs fully
+on device: frames are processed in fixed-size CHUNKS with `lax.scan`;
+initialization (``StereoInitialization``, ``Tracking.cc:545-630``), the
+keyframe decision, and keyframe insertion are all PREDICATED dataflow
+(masked writes, no `lax.cond`), so the whole run is one repeated XLA program
+with zero host round trips.
+
+Two properties of the remote-TPU relay shape this design (measured):
+ - a host<->device fetch costs ~100 ms AND permanently drops the runtime
+   into a ~30x slower per-launch mode — so the hot loop must not fetch;
+   per-frame outputs are kept as device arrays and fetched once at the end
+   (``flush()``), or eagerly for interactive use (``defer_fetch=False``).
+ - an untaken `lax.cond` branch inside `lax.scan` still costs its full
+   latency per step — hence predicated keyframe insertion
+   (map/state.py commit_keyframe).
+
+State machine states mirror ``Tracking.h:93-99``; relocalization and loop
+closing attach via place/ (later milestones). When tracking is lost the
+chunk keeps attempting motion-model tracking from the last good pose
+(the reference would call Relocalization, ``Tracking.cc:1535``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from orb_slam_2_ros_tpu.config import SlamConfig, SENSOR_MONOCULAR
+from orb_slam_2_ros_tpu.frontend import frame as frame_mod
+from orb_slam_2_ros_tpu.frontend import matcher
+from orb_slam_2_ros_tpu.geometry import se3
+from orb_slam_2_ros_tpu.map import state as map_state
+from orb_slam_2_ros_tpu.solvers.pose_opt import pose_optimization
+
+NO_IMAGES_YET = 0
+NOT_INITIALIZED = 1
+OK = 2
+LOST = 3
+
+
+class TrackCarry(NamedTuple):
+    """Device-resident tracking context carried across frames."""
+
+    m: map_state.MapState
+    initialized: jnp.ndarray   # () bool
+    q: jnp.ndarray
+    t: jnp.ndarray
+    vel_q: jnp.ndarray
+    vel_t: jnp.ndarray
+    last_mp: jnp.ndarray       # (P,) kp -> mp of previous frame
+    last_oct: jnp.ndarray
+    last_angle: jnp.ndarray
+    ref_tracked: jnp.ndarray   # () int32 inliers at last KF insertion
+    since_kf: jnp.ndarray      # () int32
+    frame_id: jnp.ndarray      # () int32
+
+
+@dataclasses.dataclass
+class FrameRecord:
+    """Host-side per-frame observability record (SURVEY.md §5.5)."""
+
+    frame_id: int
+    timestamp: float
+    state: int
+    n_matches_frame: int
+    n_inliers: int
+    is_keyframe: bool
+    R_wc: np.ndarray
+    c_w: np.ndarray
+
+
+def _quat_to_R(qw, qx, qy, qz):
+    return np.array([
+        [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz), 2 * (qx * qz + qw * qy)],
+        [2 * (qx * qy + qw * qz), 1 - 2 * (qx * qx + qz * qz), 2 * (qy * qz - qw * qx)],
+        [2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx), 1 - 2 * (qx * qx + qy * qy)],
+    ])
+
+
+class Tracker:
+    """RGB-D / stereo-depth tracking pipeline (monocular init lands with the
+    Initializer milestone)."""
+
+    CHUNK = 16   # fixed scan length: every chunk call hits the same program
+
+    def __init__(self, cfg: SlamConfig):
+        assert cfg.sensor != SENSOR_MONOCULAR, "mono init not wired yet"
+        self.cfg = cfg
+        self.state = NO_IMAGES_YET
+        self.records: List[FrameRecord] = []
+        self._pending = []          # [(timestamps, device outs)]
+        self.carry = self._fresh_carry(map_state.empty(cfg))
+
+        P = cfg.orb.max_kps
+        tc = cfg.tracking
+
+        def _track_core(m, frame, q_pred, t_pred, last_mp, last_oct, last_angle):
+            """Two-stage matching + pose LM (TrackWithMotionModel +
+            TrackLocalMap, Tracking.cc:971-1093)."""
+            has_last = last_mp >= 0
+            src_pos = m.mp_pos[jnp.clip(last_mp, 0)]
+            src_desc = m.mp_desc[jnp.clip(last_mp, 0)]
+            src_ok = has_last & m.mp_valid[jnp.clip(last_mp, 0)]
+            kp_to_src, _ = matcher.search_by_projection_pose(
+                src_pos, src_desc, last_oct, src_ok, q_pred, t_pred, frame,
+                cfg, th=15.0, src_angle=last_angle, check_rotation=True)
+            kp_mp1 = jnp.where(kp_to_src >= 0,
+                               last_mp[jnp.clip(kp_to_src, 0)], -1)
+            q1, t1, inl1, n1 = pose_optimization(
+                q_pred, t_pred, m.mp_pos[jnp.clip(kp_mp1, 0)], frame.uv,
+                frame.u_right, frame.kps.octave, kp_mp1 >= 0, cfg)
+            kp_mp1 = jnp.where(inl1, kp_mp1, -1)
+
+            tv = matcher.frustum_check(
+                q1, t1, m.mp_pos, m.mp_normal, m.mp_min_dist, m.mp_max_dist,
+                m.mp_valid, cfg)
+            kp_to_mp2, _ = matcher.search_local_map(
+                tv, m.mp_desc, frame, kp_mp1 >= 0, cfg)
+            kp_mp = jnp.where(kp_mp1 >= 0, kp_mp1, kp_to_mp2)
+            q2, t2, inl2, n2 = pose_optimization(
+                q1, t1, m.mp_pos[jnp.clip(kp_mp, 0)], frame.uv, frame.u_right,
+                frame.kps.octave, kp_mp >= 0, cfg)
+            kp_mp = jnp.where(inl2, kp_mp, -1)
+            th_close = cfg.camera.bf / cfg.camera.fx * cfg.camera.th_depth
+            close = frame.valid & (frame.depth > 0) & (frame.depth < th_close)
+            n_close_tr = jnp.sum((close & (kp_mp >= 0)).astype(jnp.int32))
+            n_close_free = jnp.sum((close & (kp_mp < 0)).astype(jnp.int32))
+            return q2, t2, kp_mp, n1, n2, n_close_tr, n_close_free
+
+        def _frame_step(carry: TrackCarry, inputs):
+            gray, depth, active = inputs
+            m = carry.m
+            frame = frame_mod.build_rgbd(gray, depth, cfg)
+
+            # ---------- tracking attempt (garbage but harmless pre-init)
+            q_pred, t_pred = se3.compose(carry.vel_q, carry.vel_t,
+                                         carry.q, carry.t)
+            q2, t2, kp_mp, n1, n2, nct, ncf = _track_core(
+                m, frame, q_pred, t_pred, carry.last_mp, carry.last_oct,
+                carry.last_angle)
+            good = ((n2 >= tc.min_inliers_local_map) & active
+                    & carry.initialized)
+
+            # ---------- stereo/RGB-D initialization (predicated)
+            n_depth = jnp.sum((frame.valid & (frame.depth > 0)).astype(jnp.int32))
+            can_init = ((~carry.initialized) & active
+                        & (n_depth >= tc.min_init_stereo_kps))
+            q_init = se3.quat_exp(jnp.array([cfg.initial_pitch, 0.0, 0.0]))
+            t_init = jnp.zeros(3)
+
+            # ---------- keyframe decision (NeedNewKeyFrame, Tracking.cc:1103)
+            capacity_ok = ((m.M - m.n_mps >= 1024) & (m.n_kfs < m.K))
+            need_close = (nct < 100) & (ncf > 70)
+            c1 = carry.since_kf >= tc.max_frames_between_kf
+            c2 = ((n2 < (0.75 * carry.ref_tracked.astype(jnp.float32)))
+                  | need_close)
+            need_kf = good & capacity_ok & (n2 > 15) & (c1 | c2)
+            if cfg.localization_only:
+                # localization mode: map frozen (System.cc:578-605)
+                need_kf = jnp.array(False)
+                can_init = jnp.array(False)
+
+            # ---------- predicated commit (insert + spawn, no lax.cond)
+            commit = need_kf | (can_init & capacity_ok)
+            q_c = jnp.where(can_init, q_init, q2)
+            t_c = jnp.where(can_init, t_init, t2)
+            kp_mp_c = jnp.where(can_init, -jnp.ones_like(kp_mp), kp_mp)
+            m, kf_row = map_state.commit_keyframe(
+                m, frame, q_c, t_c, carry.frame_id, kp_mp_c, commit, cfg,
+                close_only=True, max_spawn=P, allow_far=can_init)
+            kp_mp_out = jnp.where(commit, kf_row, kp_mp)
+            n_spawned = jnp.sum((kf_row >= 0).astype(jnp.int32))
+
+            # ---------- carry updates
+            track_ok = good | can_init
+            q_new = jnp.where(can_init, q_init, jnp.where(good, q2, carry.q))
+            t_new = jnp.where(can_init, t_init, jnp.where(good, t2, carry.t))
+            vq, vt = se3.relative(q2, t2, carry.q, carry.t)
+            vel_q = jnp.where(good, vq, jnp.where(
+                can_init, jnp.array([1.0, 0, 0, 0]), carry.vel_q))
+            vel_t = jnp.where(good, vt, jnp.where(
+                can_init, jnp.zeros(3), carry.vel_t))
+            initialized = carry.initialized | can_init
+
+            new_carry = TrackCarry(
+                m=m, initialized=initialized, q=q_new, t=t_new,
+                vel_q=vel_q, vel_t=vel_t,
+                last_mp=jnp.where(track_ok, kp_mp_out, carry.last_mp),
+                last_oct=jnp.where(track_ok, frame.kps.octave, carry.last_oct),
+                last_angle=jnp.where(track_ok, frame.kps.angle,
+                                     carry.last_angle),
+                ref_tracked=jnp.where(can_init, n_spawned,
+                                      jnp.where(need_kf, n2,
+                                                carry.ref_tracked)),
+                since_kf=jnp.where(commit, 0,
+                                   carry.since_kf + active.astype(jnp.int32)),
+                frame_id=carry.frame_id + active.astype(jnp.int32))
+
+            state_code = jnp.where(
+                track_ok, OK,
+                jnp.where(initialized, LOST, NOT_INITIALIZED))
+            qi, ti = se3.inverse(q_new, t_new)
+            n1_out = jnp.where(can_init, n_spawned, n1)
+            n2_out = jnp.where(can_init, n_spawned, n2)
+            out = jnp.concatenate([
+                jnp.stack([n1_out.astype(jnp.float32),
+                           n2_out.astype(jnp.float32),
+                           commit.astype(jnp.float32),
+                           state_code.astype(jnp.float32)]),
+                qi, ti])
+            return new_carry, out
+
+        @jax.jit
+        def _track_chunk(carry: TrackCarry, grays, depths, active):
+            return jax.lax.scan(_frame_step, carry, (grays, depths, active))
+
+        self._track_chunk = _track_chunk
+
+    def _fresh_carry(self, m: map_state.MapState,
+                     initialized: bool = False) -> TrackCarry:
+        P = self.cfg.orb.max_kps
+        return TrackCarry(
+            m=m, initialized=jnp.array(initialized),
+            q=jnp.array([1.0, 0, 0, 0]), t=jnp.zeros(3),
+            vel_q=jnp.array([1.0, 0, 0, 0]), vel_t=jnp.zeros(3),
+            last_mp=jnp.full((P,), -1, jnp.int32),
+            last_oct=jnp.zeros((P,), jnp.int32),
+            last_angle=jnp.zeros((P,), jnp.float32),
+            ref_tracked=jnp.int32(0), since_kf=jnp.int32(0),
+            frame_id=jnp.int32(0))
+
+    # ------------------------------------------------------------- host API
+
+    @property
+    def map(self):
+        return self.carry.m
+
+    @property
+    def n_kfs(self):
+        return int(jax.device_get(self.carry.m.n_kfs))
+
+    def process_chunk(self, grays: np.ndarray, depths: np.ndarray,
+                      timestamps, defer_fetch: bool = False):
+        """Process a batch of frames on device. grays/depths: (N, H, W).
+
+        With defer_fetch=True nothing is copied back (keeps the relay in its
+        fast-launch mode); call flush() at the end of the run to materialize
+        FrameRecords. Otherwise records are fetched and returned now.
+        """
+        grays = np.asarray(grays, np.float32)
+        depths = np.asarray(depths, np.float32)
+        n = grays.shape[0]
+        C = self.CHUNK
+        for w0 in range(0, n, C):
+            w1 = min(w0 + C, n)
+            k = w1 - w0
+            g = grays[w0:w1]
+            d = depths[w0:w1]
+            if k < C:   # pad to the fixed chunk length; padded frames inert
+                g = np.concatenate([g, np.repeat(g[-1:], C - k, axis=0)])
+                d = np.concatenate([d, np.repeat(d[-1:], C - k, axis=0)])
+            active = np.arange(C) < k
+            self.carry, outs = self._track_chunk(self.carry, g, d, active)
+            self._pending.append((list(timestamps[w0:w1]), outs, k))
+        if defer_fetch:
+            return []
+        return self.flush()
+
+    def process(self, gray: np.ndarray, depth: np.ndarray,
+                timestamp: float) -> FrameRecord:
+        """Single-frame convenience wrapper (one padded chunk)."""
+        return self.process_chunk(gray[None], depth[None], [timestamp])[0]
+
+    def flush(self) -> List[FrameRecord]:
+        """Materialize all pending per-frame records (one device fetch)."""
+        if not self._pending:
+            return []
+        fetched = jax.device_get([p[1] for p in self._pending])
+        recs = []
+        for (ts, _, k), outs in zip(self._pending, fetched):
+            outs = np.asarray(outs)[:k]
+            for j, row in enumerate(outs):
+                n1, n2, is_kf, state_f = row[:4]
+                qw, qx, qy, qz = row[4:8]
+                state = int(state_f)
+                rec = FrameRecord(
+                    frame_id=len(self.records), timestamp=ts[j],
+                    state=state, n_matches_frame=int(n1), n_inliers=int(n2),
+                    is_keyframe=bool(is_kf > 0),
+                    R_wc=_quat_to_R(qw, qx, qy, qz), c_w=np.array(row[8:11]))
+                self.records.append(rec)
+                recs.append(rec)
+        self._pending = []
+        if recs:
+            self.state = recs[-1].state
+        return recs
+
+    def attach_map(self, m: map_state.MapState):
+        """Adopt a loaded map and start tracking against it from the origin
+        (``System::LoadMap`` semantics: the tracker re-acquires by local-map
+        search; dedicated relocalization lands with the place milestone)."""
+        self.carry = self._fresh_carry(m, initialized=True)
+        self.state = OK
+
+    # ------------------------------------------------------------ trajectory
+
+    def trajectory_wc(self):
+        return [(r.R_wc, r.c_w) for r in self.records], \
+               [r.timestamp for r in self.records]

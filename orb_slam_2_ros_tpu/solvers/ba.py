@@ -1,0 +1,292 @@
+"""Bundle adjustment: masked LM with a matrix-free Schur-complement solve.
+
+Replaces g2o's BlockSolver + sparse Cholesky path used by
+``Optimizer::LocalBundleAdjustment`` (``Optimizer.cc:517-890``) and
+``GlobalBundleAdjustemnt`` (``:41-262``), keeping the same marginalization
+structure (`vPoint->setMarginalized(true)`, ``Optimizer.cc:113``): each LM
+step eliminates the 3x3 landmark blocks in closed form (batched inverses)
+and solves the reduced camera system S = Hcc - Hcp Hpp^-1 Hpc with
+preconditioned conjugate gradients, where every S-product is evaluated
+edge-wise (gather -> 3x6/3x3 einsum -> scatter). No sparse matrix is ever
+materialized; this is the TPU-shaped Schur pattern that also distributes
+(psum the per-shard S-products, SURVEY.md §2.D).
+
+Semantics kept from the reference: Huber kernel (delta^2 = 5.991 mono /
+7.815 stereo), per-octave invSigma2 weighting, two-phase optimize
+(5 iters -> chi2 outlier pruning -> 10 iters, ``Optimizer.cc:760-813``),
+gauge fixed by freezing listed cameras (first KF / fixed ring).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam_2_ros_tpu.config import SlamConfig
+from orb_slam_2_ros_tpu.geometry import se3
+
+_EPS = 1e-9
+
+
+class BAProblem(NamedTuple):
+    """Static-shape BA instance. E edges reference C cameras and M points."""
+
+    cam_idx: jnp.ndarray    # (E,) int32 -> camera slot
+    mp_idx: jnp.ndarray     # (E,) int32 -> point slot
+    obs: jnp.ndarray        # (E, 3) (u, v, uR); uR component masked for mono
+    is_stereo: jnp.ndarray  # (E,) bool
+    inv_sigma2: jnp.ndarray  # (E,) float32
+    valid: jnp.ndarray      # (E,) bool
+
+
+def build_problem(kf_uv, kf_ur, kf_octave, kf_mp, kf_kp_valid,
+                  cfg: SlamConfig) -> BAProblem:
+    """Assemble edges from C rows of the observation table
+    ((C, P) slices of the MapState keyframe pools)."""
+    C, P = kf_mp.shape
+    cam_idx = jnp.repeat(jnp.arange(C, dtype=jnp.int32), P)
+    mp_idx = kf_mp.reshape(-1)
+    ur = kf_ur.reshape(-1)
+    obs = jnp.concatenate([kf_uv.reshape(-1, 2), ur[:, None]], axis=-1)
+    octv = kf_octave.reshape(-1)
+    valid = (mp_idx >= 0) & kf_kp_valid.reshape(-1)
+    return BAProblem(
+        cam_idx=cam_idx, mp_idx=jnp.clip(mp_idx, 0), obs=obs,
+        is_stereo=ur > 0,
+        inv_sigma2=cfg.orb.scale_factor ** (-2.0 * octv.astype(jnp.float32)),
+        valid=valid)
+
+
+def _edge_terms(prob: BAProblem, q, t, pos, cfg: SlamConfig):
+    """Residuals e (E, 3), camera Jacobians Jc (E, 3, 6), point Jacobians
+    Jp (E, 3, 3), depth z (E,). Camera update is left-multiplied
+    exp(xi)*T; point update is additive in world frame. Matches g2o's
+    EdgeSE3ProjectXYZ / EdgeStereoSE3ProjectXYZ
+    (``types_six_dof_expmap.h:80-174``)."""
+    cam = cfg.camera
+    qc = q[prob.cam_idx]
+    tc = t[prob.cam_idx]
+    pw = pos[prob.mp_idx]
+    xc = se3.apply(qc, tc, pw)
+    x, y = xc[:, 0], xc[:, 1]
+    z = jnp.maximum(xc[:, 2], _EPS)
+    iz = 1.0 / z
+    iz2 = iz * iz
+
+    u = cam.fx * x * iz + cam.cx
+    v = cam.fy * y * iz + cam.cy
+    ur = u - cam.bf * iz
+    e = jnp.stack([u, v, ur], axis=-1) - prob.obs
+
+    du = jnp.stack([cam.fx * iz, jnp.zeros_like(z), -cam.fx * x * iz2], -1)
+    dv = jnp.stack([jnp.zeros_like(z), cam.fy * iz, -cam.fy * y * iz2], -1)
+    dur = du + jnp.stack([jnp.zeros_like(z), jnp.zeros_like(z), cam.bf * iz2], -1)
+    dpred_dxc = jnp.stack([du, dv, dur], axis=1)            # (E, 3, 3)
+
+    zeros = jnp.zeros_like(z)
+    nskew = jnp.stack([
+        jnp.stack([zeros, xc[:, 2], -xc[:, 1]], -1),
+        jnp.stack([-xc[:, 2], zeros, xc[:, 0]], -1),
+        jnp.stack([xc[:, 1], -xc[:, 0], zeros], -1),
+    ], axis=1)                                              # -[xc]x
+    eye = jnp.broadcast_to(jnp.eye(3), nskew.shape)
+    dxc_dxi = jnp.concatenate([eye, nskew], axis=-1)        # (E, 3, 6)
+    Jc = jnp.einsum("eij,ejk->eik", dpred_dxc, dxc_dxi)
+    # d(xc)/d(pw) = R
+    R = se3.quat_to_matrix(qc)                              # (E, 3, 3)
+    Jp = jnp.einsum("eij,ejk->eik", dpred_dxc, R)
+    return e, Jc, Jp, z
+
+
+def _weights(prob: BAProblem, e, z, edge_mask, cfg: SlamConfig,
+             use_kernel: bool):
+    """Per-edge-component weights W (E, 3) = invSigma2 * huber * comp mask;
+    also the robust total error."""
+    sc = cfg.solver
+    delta2 = jnp.where(prob.is_stereo, sc.huber_stereo2, sc.huber_mono2)
+    comp_w = jnp.stack([jnp.ones_like(z), jnp.ones_like(z),
+                        prob.is_stereo.astype(jnp.float32)], -1)
+    e2 = jnp.sum(e * e * comp_w, axis=-1)
+    chi2 = e2 * prob.inv_sigma2
+    if use_kernel:
+        delta = jnp.sqrt(delta2)
+        w_rob = jnp.where(chi2 <= delta2, 1.0,
+                          delta / jnp.maximum(jnp.sqrt(chi2), _EPS))
+        rho = jnp.where(chi2 <= delta2, chi2, 2 * delta * jnp.sqrt(chi2) - delta2)
+    else:
+        w_rob = jnp.ones_like(chi2)
+        rho = chi2
+    ok = edge_mask & (z > _EPS)
+    w = jnp.where(ok, prob.inv_sigma2 * w_rob, 0.0)
+    err = jnp.sum(jnp.where(ok, rho, 0.0))
+    return w[:, None] * comp_w, err
+
+
+def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Batched closed-form 3x3 inverse (adjugate/det) — cheaper than LU for
+    the (M, 3, 3) landmark blocks."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    co00 = e * i - f * h
+    co01 = c * h - b * i
+    co02 = b * f - c * e
+    co10 = f * g - d * i
+    co11 = a * i - c * g
+    co12 = c * d - a * f
+    co20 = d * h - e * g
+    co21 = b * g - a * h
+    co22 = a * e - b * d
+    det = a * co00 + b * co10 + c * co20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    adj = jnp.stack([
+        jnp.stack([co00, co01, co02], -1),
+        jnp.stack([co10, co11, co12], -1),
+        jnp.stack([co20, co21, co22], -1),
+    ], axis=-2)
+    return adj * inv_det[..., None, None]
+
+
+def bundle_adjustment(q, t, cam_free, pos, mp_free, prob: BAProblem,
+                      cfg: SlamConfig, phases=(5, 10), cg_iters: int = 20):
+    """Run Schur-LM bundle adjustment.
+
+    q (C, 4), t (C, 3): world->camera poses; cam_free (C,) bool (False =
+    gauge-fixed); pos (M, 3) points; mp_free (M,) bool. phases: LM iteration
+    counts with chi2-based edge pruning between phases (reference 5+10).
+
+    Returns (q, t, pos, edge_inlier (E,) bool).
+    """
+    C = q.shape[0]
+    M = pos.shape[0]
+    sc = cfg.solver
+    delta2 = jnp.where(prob.is_stereo, sc.huber_stereo2, sc.huber_mono2)
+
+    camf = cam_free.astype(jnp.float32)[:, None]            # (C, 1)
+    mpf = mp_free.astype(jnp.float32)[:, None]              # (M, 1)
+
+    def lm_step(q, t, pos, edge_mask, use_kernel, lam, err):
+        e, Jc, Jp, z = _edge_terms(prob, q, t, pos, cfg)
+        W, _ = _weights(prob, e, z, edge_mask, cfg, use_kernel)
+
+        ci, pi = prob.cam_idx, prob.mp_idx
+        # gradients (free-masked)
+        We = W * e
+        gc = jnp.zeros((C, 6)).at[ci].add(jnp.einsum("eik,ei->ek", Jc, We)) * camf
+        gp = jnp.zeros((M, 3)).at[pi].add(jnp.einsum("eik,ei->ek", Jp, We)) * mpf
+
+        # block diagonals
+        Hcc_d = jnp.zeros((C, 6, 6)).at[ci].add(
+            jnp.einsum("eci,ec,ecj->eij", Jc, W, Jc))        # (C, 6, 6)
+        Hpp = jnp.zeros((M, 3, 3)).at[pi].add(
+            jnp.einsum("eci,ec,ecj->eij", Jp, W, Jp))        # (M, 3, 3)
+
+        # LM damping on the diagonals
+        dampC = lam * jnp.einsum("cii->ci", Hcc_d) + 1e-8    # (C, 6)
+        Hpp_d = Hpp + (lam * jnp.einsum("mii->mi", Hpp) + 1e-8)[..., None] \
+            * jnp.eye(3)
+        # fixed points: zero inverse removes them from the Schur term
+        Hpp_inv = _inv3x3(Hpp_d) * mpf[..., None]
+
+        bc = -gc
+        bp = -gp
+
+        def Hpc_mv(xc):
+            jx = jnp.einsum("eik,ek->ei", Jc, (xc * camf)[ci])
+            return jnp.zeros((M, 3)).at[pi].add(
+                jnp.einsum("eik,ei->ek", Jp, W * jx))
+
+        def Hcp_mv(xp):
+            jx = jnp.einsum("eik,ek->ei", Jp, (xp * mpf)[pi])
+            return jnp.zeros((C, 6)).at[ci].add(
+                jnp.einsum("eik,ei->ek", Jc, W * jx)) * camf
+
+        def Hcc_mv(xc):
+            jx = jnp.einsum("eik,ek->ei", Jc, (xc * camf)[ci])
+            y = jnp.zeros((C, 6)).at[ci].add(
+                jnp.einsum("eik,ei->ek", Jc, W * jx))
+            return y * camf + dampC * xc * camf
+
+        def S_mv(xc):
+            tp = jnp.einsum("mij,mj->mi", Hpp_inv, Hpc_mv(xc))
+            return Hcc_mv(xc) - Hcp_mv(tp)
+
+        # reduced RHS: bc~ = bc - Hcp Hpp^-1 bp
+        bc_red = (bc - Hcp_mv(jnp.einsum("mij,mj->mi", Hpp_inv, bp))) * camf
+
+        # block-Jacobi preconditioner: damped Hcc blocks for free cameras,
+        # identity rows for fixed ones (their residual is always zero)
+        Pmat = (Hcc_d + jnp.einsum("ci,ij->cij", dampC, jnp.eye(6))) \
+            * camf[..., None] \
+            + jnp.eye(6)[None] * (1.0 - camf[..., None]) \
+            + jnp.eye(6)[None] * 1e-6
+        P_inv = jnp.linalg.inv(Pmat)
+
+        def precond(r):
+            return jnp.einsum("cij,cj->ci", P_inv, r) * camf
+
+        # CG on the reduced camera system
+        x0 = jnp.zeros((C, 6))
+        r0 = bc_red
+        z0 = precond(r0)
+        p0 = z0
+        rz0 = jnp.sum(r0 * z0)
+
+        def cg_body(_, carry):
+            x, r, p, rz = carry
+            Ap = S_mv(p)
+            alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-20)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            zz = precond(r)
+            rz_new = jnp.sum(r * zz)
+            beta = rz_new / jnp.maximum(rz, 1e-20)
+            p = zz + beta * p
+            return x, r, p, rz_new
+
+        xc, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body, (x0, r0, p0, rz0))
+        # back-substitute landmarks
+        xp = jnp.einsum("mij,mj->mi", Hpp_inv, bp - Hpc_mv(xc))
+
+        # candidate update
+        dq, dt = se3.exp(xc)
+        q_new, t_new = se3.compose(dq, dt, q, t)
+        q_new = jnp.where(cam_free[:, None], q_new, q)
+        t_new = jnp.where(cam_free[:, None], t_new, t)
+        pos_new = jnp.where(mp_free[:, None], pos + xp, pos)
+
+        e2, _, _, z2 = _edge_terms(prob, q_new, t_new, pos_new, cfg)
+        _, err_new = _weights(prob, e2, z2, edge_mask, cfg, use_kernel)
+        improved = err_new < err
+        q = jnp.where(improved, q_new, q)
+        t = jnp.where(improved, t_new, t)
+        pos = jnp.where(improved, pos_new, pos)
+        lam = jnp.clip(jnp.where(improved, lam * 0.3, lam * 5.0), 1e-10, 1e8)
+        err = jnp.where(improved, err_new, err)
+        return q, t, pos, lam, err
+
+    def lm_phase(q, t, pos, edge_mask, use_kernel, n_iters):
+        e, _, _, z = _edge_terms(prob, q, t, pos, cfg)
+        _, err0 = _weights(prob, e, z, edge_mask, cfg, use_kernel)
+
+        def body(_, carry):
+            q, t, pos, lam, err = carry
+            return lm_step(q, t, pos, edge_mask, use_kernel, lam, err)
+
+        q, t, pos, _, _ = jax.lax.fori_loop(
+            0, n_iters, body, (q, t, pos, 1e-4, err0))
+        return q, t, pos
+
+    edge_mask = prob.valid
+    for i, n_iters in enumerate(phases):
+        use_kernel = i == 0
+        q, t, pos = lm_phase(q, t, pos, edge_mask, use_kernel, n_iters)
+        # chi2 pruning between phases (Optimizer.cc:781-812)
+        e, _, _, z = _edge_terms(prob, q, t, pos, cfg)
+        comp_w = jnp.stack([jnp.ones_like(z), jnp.ones_like(z),
+                            prob.is_stereo.astype(jnp.float32)], -1)
+        chi2 = jnp.sum(e * e * comp_w, -1) * prob.inv_sigma2
+        edge_mask = prob.valid & (chi2 <= delta2) & (z > _EPS)
+    return q, t, pos, edge_mask

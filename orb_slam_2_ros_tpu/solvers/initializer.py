@@ -1,0 +1,296 @@
+"""Monocular two-view bootstrap: vmapped H/F RANSAC + reconstruction.
+
+Replaces ``Initializer.cc`` (1100 LoC): the reference runs 200 RANSAC
+iterations over 8-point sets, estimating a homography and a fundamental
+matrix in two std::threads (``Initializer.cc:129-140``) and picking by the
+RH = SH/(SH+SF) heuristic (``:142-151``). Here all 200 hypotheses for BOTH
+models are solved in one vmapped batch of small SVD/eig problems, scored
+with the same symmetric-transfer truncated chi2 (``:369-559``), and the
+winning model is decomposed (E from F: 4 candidates ``:561-678``; Faugeras
+8-solution for H ``:680-842``) with cheirality voting by batched
+triangulation of every match.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam_2_ros_tpu.config import SlamConfig
+from orb_slam_2_ros_tpu.geometry import se3, triangulate as tri
+
+_EPS = 1e-12
+SIGMA = 1.0
+TH_F = 3.841          # chi2 gate, 1 dof (Initializer.cc:472)
+TH_H = 5.991          # chi2 gate, 2 dof (:404)
+TH_SCORE = 5.991      # truncation for scoring both models
+
+
+class InitResult(NamedTuple):
+    ok: jnp.ndarray        # () bool
+    q: jnp.ndarray         # (4,) world->cam2 rotation (cam1 = identity)
+    t: jnp.ndarray         # (3,) unit-norm translation
+    points: jnp.ndarray    # (N, 3) triangulated in cam1 frame
+    good: jnp.ndarray      # (N,) bool triangulation accepted
+    used_h: jnp.ndarray    # () bool which model won
+
+
+def _normalize(pts, valid):
+    """Mean/abs-dev normalization (``Initializer.cc:861-907``)."""
+    w = valid.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    mean = jnp.sum(pts * w[:, None], axis=0) / n
+    dev = jnp.sum(jnp.abs(pts - mean) * w[:, None], axis=0) / n
+    s = 1.0 / jnp.maximum(dev, 1e-6)
+    T = jnp.array([[s[0], 0, -mean[0] * s[0]],
+                   [0, s[1], -mean[1] * s[1]],
+                   [0, 0, 1]])
+    return (pts - mean) * s, T
+
+
+def _solve_h(p1, p2):
+    """(8, 2) x 2 -> 3x3 homography via DLT (``Initializer.cc:280-324``)."""
+    x1, y1 = p1[:, 0], p1[:, 1]
+    x2, y2 = p2[:, 0], p2[:, 1]
+    z = jnp.zeros_like(x1)
+    o = jnp.ones_like(x1)
+    r1 = jnp.stack([z, z, z, -x1, -y1, -o, y2 * x1, y2 * y1, y2], -1)
+    r2 = jnp.stack([x1, y1, o, z, z, z, -x2 * x1, -x2 * y1, -x2], -1)
+    A = jnp.concatenate([r1, r2], axis=0)              # (16, 9)
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    return Vt[8].reshape(3, 3)
+
+
+def _solve_f(p1, p2):
+    """(8, 2) x 2 -> rank-2 fundamental matrix (``Initializer.cc:327-367``)."""
+    x1, y1 = p1[:, 0], p1[:, 1]
+    x2, y2 = p2[:, 0], p2[:, 1]
+    o = jnp.ones_like(x1)
+    A = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, o], -1)
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    F = Vt[8].reshape(3, 3)
+    U, D, Vt2 = jnp.linalg.svd(F)
+    D = D.at[2].set(0.0)
+    return U @ jnp.diag(D) @ Vt2
+
+
+def _score_h(H, H_inv, uv1, uv2, valid):
+    """Symmetric transfer score (``CheckHomography``, ``Initializer.cc:369-437``)."""
+    def transfer(Hm, a, b):
+        x, y = a[:, 0], a[:, 1]
+        w = Hm[2, 0] * x + Hm[2, 1] * y + Hm[2, 2]
+        iw = 1.0 / jnp.where(jnp.abs(w) < _EPS, _EPS, w)
+        u = (Hm[0, 0] * x + Hm[0, 1] * y + Hm[0, 2]) * iw
+        v = (Hm[1, 0] * x + Hm[1, 1] * y + Hm[1, 2]) * iw
+        return (b[:, 0] - u) ** 2 + (b[:, 1] - v) ** 2
+
+    inv_s2 = 1.0 / (SIGMA * SIGMA)
+    c1 = transfer(H_inv, uv2, uv1) * inv_s2
+    c2 = transfer(H, uv1, uv2) * inv_s2
+    ok = (c1 <= TH_H) & (c2 <= TH_H) & valid
+    score = jnp.sum(jnp.where(valid & (c1 <= TH_H), TH_SCORE - c1, 0.0)
+                    + jnp.where(valid & (c2 <= TH_H), TH_SCORE - c2, 0.0))
+    return score, ok
+
+
+def _score_f(F, uv1, uv2, valid):
+    """Epipolar distance score (``CheckFundamental``, ``Initializer.cc:440-559``)."""
+    o = jnp.ones_like(uv1[:, :1])
+    x1 = jnp.concatenate([uv1, o], -1)
+    x2 = jnp.concatenate([uv2, o], -1)
+    l2 = x1 @ F.T                                   # line in image 2
+    l1 = x2 @ F                                     # line in image 1
+    inv_s2 = 1.0 / (SIGMA * SIGMA)
+    d2 = (jnp.sum(l2 * x2, -1) ** 2) / jnp.maximum(l2[:, 0] ** 2 + l2[:, 1] ** 2, _EPS) * inv_s2
+    d1 = (jnp.sum(l1 * x1, -1) ** 2) / jnp.maximum(l1[:, 0] ** 2 + l1[:, 1] ** 2, _EPS) * inv_s2
+    ok = (d1 <= TH_F) & (d2 <= TH_F) & valid
+    score = jnp.sum(jnp.where(valid & (d2 <= TH_F), TH_SCORE - d2, 0.0)
+                    + jnp.where(valid & (d1 <= TH_F), TH_SCORE - d1, 0.0))
+    return score, ok
+
+
+def _check_rt(R, t, uv1, uv2, valid, K, max_parallax_needed=1.0):
+    """Cheirality check (``CheckRT``, ``Initializer.cc:561-678``): triangulate
+    all matches for candidate (R, t), count points in front of both cameras
+    with bounded reprojection error. Returns (n_good, good_mask, points,
+    cos_parallax_median)."""
+    q = se3.quat_from_matrix(R)
+    P1 = tri.projection_matrix(K, *se3.identity())
+    P2 = tri.projection_matrix(K, q, t)
+    X = tri.triangulate_dlt(P1, P2, uv1, uv2)
+    z1 = X[:, 2]
+    Xc2 = se3.apply(q, t, X)
+    z2 = Xc2[:, 2]
+
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    pr1 = jnp.stack([fx * X[:, 0] / jnp.maximum(z1, _EPS) + cx,
+                     fy * X[:, 1] / jnp.maximum(z1, _EPS) + cy], -1)
+    pr2 = jnp.stack([fx * Xc2[:, 0] / jnp.maximum(z2, _EPS) + cx,
+                     fy * Xc2[:, 1] / jnp.maximum(z2, _EPS) + cy], -1)
+    e1 = jnp.sum((pr1 - uv1) ** 2, -1)
+    e2 = jnp.sum((pr2 - uv2) ** 2, -1)
+
+    c1 = jnp.zeros(3)
+    c2 = se3.camera_center(q, t)
+    cosp = tri.parallax_cos(X, c1, c2)
+    th2 = 4.0 * SIGMA * SIGMA
+    good = (valid & (z1 > 0) & (z2 > 0) & (e1 < th2) & (e2 < th2)
+            & (cosp < 0.99998))
+    return jnp.sum(good.astype(jnp.int32)), good, X, cosp
+
+
+def initialize(uv1: jnp.ndarray, uv2: jnp.ndarray, valid: jnp.ndarray,
+               K: jnp.ndarray, key: jax.Array,
+               n_hypotheses: int = 200, min_triangulated: int = 50) -> InitResult:
+    """Two-view reconstruction from matched undistorted pixels.
+
+    uv1, uv2: (N, 2) matched coordinates (pairs aligned by index); valid:
+    (N,) mask. Returns pose of camera 2 and triangulated points in the
+    camera-1 frame (unit-baseline scale, normalized later by median depth
+    like ``CreateInitialMapMonocular``, ``Tracking.cc:760-800``).
+    """
+    N = uv1.shape[0]
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+
+    # normalized coordinates for conditioning
+    p1n, T1 = _normalize(uv1, valid)
+    p2n, T2 = _normalize(uv2, valid)
+
+    # random 8-point sets over valid matches: sample by sorting random keys
+    keys = jax.random.split(key, n_hypotheses)
+
+    def sample(k):
+        r = jax.random.uniform(k, (N,))
+        r = jnp.where(valid, r, 2.0)
+        idx = jnp.argsort(r)[:8]
+        return idx
+
+    sets = jax.vmap(sample)(keys)                   # (200, 8)
+
+    def hyp(idx):
+        a1, a2 = p1n[idx], p2n[idx]
+        Hn = _solve_h(a1, a2)
+        Fn = _solve_f(a1, a2)
+        H = jnp.linalg.inv(T2) @ Hn @ T1            # de-normalize
+        F = T2.T @ Fn @ T1
+        sH, _ = _score_h(H, jnp.linalg.inv(H), uv1, uv2, valid)
+        sF, _ = _score_f(F, uv1, uv2, valid)
+        return H, F, sH, sF
+
+    Hs, Fs, sHs, sFs = jax.vmap(hyp)(sets)
+    bh = jnp.argmax(sHs)
+    bf = jnp.argmax(sFs)
+    H_best = Hs[bh]
+    F_best = Fs[bf]
+    _, inl_h = _score_h(H_best, jnp.linalg.inv(H_best), uv1, uv2, valid)
+    _, inl_f = _score_f(F_best, uv1, uv2, valid)
+
+    # linear refit on all RANSAC inliers (weighted DLT rows), then rescore —
+    # sharpens the minimal-set estimate substantially under noise/outliers
+    def refit_f(inl):
+        x1, y1 = p1n[:, 0], p1n[:, 1]
+        x2, y2 = p2n[:, 0], p2n[:, 1]
+        o = jnp.ones_like(x1)
+        A = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, o], -1)
+        A = A * inl.astype(jnp.float32)[:, None]
+        _, _, Vt = jnp.linalg.svd(A, full_matrices=False)
+        F = Vt[8].reshape(3, 3)
+        U, D, Vt2 = jnp.linalg.svd(F)
+        F = U @ jnp.diag(D.at[2].set(0.0)) @ Vt2
+        return T2.T @ F @ T1
+
+    def refit_h(inl):
+        x1, y1 = p1n[:, 0], p1n[:, 1]
+        x2, y2 = p2n[:, 0], p2n[:, 1]
+        z = jnp.zeros_like(x1)
+        o = jnp.ones_like(x1)
+        r1 = jnp.stack([z, z, z, -x1, -y1, -o, y2 * x1, y2 * y1, y2], -1)
+        r2 = jnp.stack([x1, y1, o, z, z, z, -x2 * x1, -x2 * y1, -x2], -1)
+        w = inl.astype(jnp.float32)[:, None]
+        A = jnp.concatenate([r1 * w, r2 * w], axis=0)
+        _, _, Vt = jnp.linalg.svd(A, full_matrices=False)
+        return jnp.linalg.inv(T2) @ Vt[8].reshape(3, 3) @ T1
+
+    F_best = refit_f(inl_f)
+    H_best = refit_h(inl_h)
+    sH, inl_h = _score_h(H_best, jnp.linalg.inv(H_best), uv1, uv2, valid)
+    sF, inl_f = _score_f(F_best, uv1, uv2, valid)
+
+    RH = sH / jnp.maximum(sH + sF, _EPS)
+    use_h = RH > 0.40                               # Initializer.cc:150
+
+    # --- candidate (R, t) sets from both decompositions, padded to 8
+    Kinv = jnp.linalg.inv(K)
+
+    # E = K^T F K -> 4 candidates (DecomposeE, Initializer.cc:1075-1100)
+    E = K.T @ F_best @ K
+    U, _, Vt = jnp.linalg.svd(E)
+    W = jnp.array([[0.0, -1, 0], [1, 0, 0], [0, 0, 1]])
+    R1 = U @ W @ Vt
+    R2 = U @ W.T @ Vt
+    R1 = R1 * jnp.sign(jnp.linalg.det(R1))
+    R2 = R2 * jnp.sign(jnp.linalg.det(R2))
+    tE = U[:, 2]
+    tE = tE / jnp.maximum(jnp.linalg.norm(tE), _EPS)
+    # pad the 4 E-candidates to 8 with degenerate entries (zero baseline ->
+    # the parallax gate zeroes their vote) so the best/second-best dominance
+    # test (:627-644) stays meaningful
+    dummy = (jnp.eye(3), jnp.zeros(3))
+    cand_f = [(R1, tE), (R1, -tE), (R2, tE), (R2, -tE),
+              dummy, dummy, dummy, dummy]
+
+    # Faugeras 8 solutions for H (ReconstructH, Initializer.cc:680-842)
+    A = Kinv @ H_best @ K
+    Ua, Da, Vta = jnp.linalg.svd(A)
+    s = jnp.linalg.det(Ua) * jnp.linalg.det(Vta)
+    d1, d2, d3 = Da[0], Da[1], Da[2]
+    aux1 = jnp.sqrt(jnp.maximum((d1 * d1 - d2 * d2) / jnp.maximum(d1 * d1 - d3 * d3, _EPS), 0.0))
+    aux3 = jnp.sqrt(jnp.maximum((d2 * d2 - d3 * d3) / jnp.maximum(d1 * d1 - d3 * d3, _EPS), 0.0))
+    aux_st = jnp.sqrt(jnp.maximum((d1 * d1 - d2 * d2) * (d2 * d2 - d3 * d3), 0.0)) \
+        / jnp.maximum((d1 + d3) * d2, _EPS)
+    ct_p = (d2 * d2 + d1 * d3) / jnp.maximum((d1 + d3) * d2, _EPS)
+    aux_sp = jnp.sqrt(jnp.maximum((d1 * d1 - d2 * d2) * (d2 * d2 - d3 * d3), 0.0)) \
+        / jnp.maximum((d1 - d3) * d2, _EPS)
+    ct_n = (d1 * d3 - d2 * d2) / jnp.maximum((d1 - d3) * d2, _EPS)
+
+    cand_h = []
+    for e1 in (1.0, -1.0):
+        for e3 in (1.0, -1.0):
+            # d' > 0 branch
+            Rp = jnp.array([[ct_p, 0, 0], [0, 1, 0], [0, 0, ct_p]])
+            Rp = Rp.at[0, 2].set(-e1 * e3 * aux_st)
+            Rp = Rp.at[2, 0].set(e1 * e3 * aux_st)
+            tp = jnp.array([e1 * aux1, 0.0, -e3 * aux3]) * (d1 - d3)
+            Rw = s * Ua @ Rp @ Vta
+            tw = Ua @ tp
+            cand_h.append((Rw, tw / jnp.maximum(jnp.linalg.norm(tw), _EPS)))
+            # d' < 0 branch
+            Rn = jnp.array([[ct_n, 0, 0], [0, -1, 0], [0, 0, -ct_n]])
+            Rn = Rn.at[0, 2].set(e1 * e3 * aux_sp)
+            Rn = Rn.at[2, 0].set(e1 * e3 * aux_sp)
+            tn = jnp.array([e1 * aux1, 0.0, e3 * aux3]) * (d1 + d3)
+            Rw = s * Ua @ Rn @ Vta
+            tw = Ua @ tn
+            cand_h.append((Rw, tw / jnp.maximum(jnp.linalg.norm(tw), _EPS)))
+
+    Rs = jnp.stack([jnp.where(use_h, ch[0], cf[0])
+                    for ch, cf in zip(cand_h, cand_f)])
+    ts = jnp.stack([jnp.where(use_h, ch[1], cf[1])
+                    for ch, cf in zip(cand_h, cand_f)])
+    inliers = jnp.where(use_h, inl_h, inl_f)
+
+    n_goods, goods, Xs, _ = jax.vmap(
+        lambda R, t: _check_rt(R, t, uv1, uv2, inliers, K))(Rs, ts)
+    best = jnp.argmax(n_goods)
+    n_best = n_goods[best]
+    # winner must dominate (secondBestGood < 0.75 * bestGood, :627-644)
+    second = jnp.sort(n_goods)[-2]
+    ok = ((n_best > min_triangulated)
+          & (second < 0.75 * n_best.astype(jnp.float32))
+          & (n_best.astype(jnp.float32) > 0.5 * n_valid.astype(jnp.float32) * 0.5))
+
+    R = Rs[best]
+    return InitResult(ok=ok, q=se3.quat_from_matrix(R), t=ts[best],
+                      points=Xs[best], good=goods[best], used_h=use_h)

@@ -111,25 +111,40 @@ def pose_optimization(q0, t0, pts, obs_uv, obs_ur, octave, valid, cfg: SlamConfi
         return H, b, err
 
     def lm_round(q, t, edge_mask, use_kernel, n_iters):
-        _, _, err0 = weighted_system(q, t, edge_mask, use_kernel)
+        # one system evaluation per LM iteration: the candidate's (H, b, err)
+        # double as the current system when the step is accepted; early exit
+        # once the step norm collapses (g2o's terminate criterion analog) —
+        # the loop is latency-bound on TPU, so skipping converged iterations
+        # is a direct per-frame win
+        H0, b0, err0 = weighted_system(q, t, edge_mask, use_kernel)
 
-        def body(_, carry):
-            q, t, lam, err = carry
-            H, b, _ = weighted_system(q, t, edge_mask, use_kernel)
+        def cond(carry):
+            i, _, _, _, _, _, _, done = carry
+            return (i < n_iters) & ~done
+
+        def body(carry):
+            i, q, t, lam, err, H, b, done = carry
             # Marquardt damping: dimensionless lambda scales diag(H)
             Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
             xi = -jnp.linalg.solve(Hd, b)
             dq, dt = se3.exp(xi)
             q_new, t_new = se3.compose(dq, dt, q, t)
-            _, _, err_new = weighted_system(q_new, t_new, edge_mask, use_kernel)
+            H_new, b_new, err_new = weighted_system(q_new, t_new, edge_mask,
+                                                    use_kernel)
             improved = err_new < err
             q = jnp.where(improved, q_new, q)
             t = jnp.where(improved, t_new, t)
+            H = jnp.where(improved, H_new, H)
+            b = jnp.where(improved, b_new, b)
             lam = jnp.clip(jnp.where(improved, lam * 0.3, lam * 5.0), 1e-9, 1e6)
             err = jnp.where(improved, err_new, err)
-            return q, t, lam, err
+            done = improved & (jnp.sum(xi * xi) < 1e-12)
+            return i + 1, q, t, lam, err, H, b, done
 
-        q, t, _, _ = jax.lax.fori_loop(0, n_iters, body, (q, t, 1e-4, err0))
+        _, q, t, _, _, _, _, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), q, t, jnp.float32(1e-4), err0, H0, b0,
+             jnp.array(False)))
         return q, t
 
     q, t = q0, t0

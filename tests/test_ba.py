@@ -1,0 +1,134 @@
+"""Bundle adjustment tests on synthetic problems with known optima
+(SURVEY.md §4: solver tests — convergence, outlier pruning, gauge handling)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam_2_ros_tpu.config import SlamConfig
+from orb_slam_2_ros_tpu.geometry import se3, camera
+from orb_slam_2_ros_tpu.solvers import ba
+
+RNG = np.random.default_rng(31)
+
+
+def make_ba_problem(n_cams=8, n_pts=200, noise_px=0.3, stereo=True,
+                    pose_pert=0.02, point_pert=0.05):
+    cfg = SlamConfig()
+    cam = cfg.camera
+    pts = np.stack([RNG.uniform(-3, 3, n_pts), RNG.uniform(-2, 2, n_pts),
+                    RNG.uniform(4, 10, n_pts)], -1).astype(np.float32)
+    qs, ts = [], []
+    for i in range(n_cams):
+        xi = np.concatenate([
+            [0.25 * i, 0.02 * np.sin(i), 0.0],
+            RNG.normal(0, 0.02, 3)]).astype(np.float32)
+        qq, tt = se3.exp(jnp.asarray(xi))
+        qs.append(qq)
+        ts.append(tt)
+    q_true = jnp.stack(qs)
+    t_true = jnp.stack(ts)
+
+    # observations for every (cam, point) pair that lands in the image
+    E = n_cams * n_pts
+    cam_idx = np.repeat(np.arange(n_cams, dtype=np.int32), n_pts)
+    mp_idx = np.tile(np.arange(n_pts, dtype=np.int32), n_cams)
+    xc = se3.apply(q_true[cam_idx], t_true[cam_idx], jnp.asarray(pts)[mp_idx])
+    uvr = np.asarray(camera.project_stereo(cam, xc))
+    inside = ((uvr[:, 0] > 10) & (uvr[:, 0] < 630) & (uvr[:, 1] > 10)
+              & (uvr[:, 1] < 470) & (np.asarray(xc)[:, 2] > 0.5))
+    obs = uvr + RNG.normal(0, noise_px, uvr.shape).astype(np.float32)
+    if not stereo:
+        obs[:, 2] = -1.0
+    prob = ba.BAProblem(
+        cam_idx=jnp.asarray(cam_idx), mp_idx=jnp.asarray(mp_idx),
+        obs=jnp.asarray(obs), is_stereo=jnp.asarray(obs[:, 2] > 0),
+        inv_sigma2=jnp.ones((E,), jnp.float32), valid=jnp.asarray(inside))
+
+    # perturbed initial guess (gauge: cameras 0 [,1] fixed at truth)
+    q0, t0 = [], []
+    for i in range(n_cams):
+        if i == 0 or (not stereo and i == 1):
+            q0.append(q_true[i]); t0.append(t_true[i])
+        else:
+            dq, dt = se3.exp(jnp.asarray(
+                RNG.normal(0, pose_pert, 6).astype(np.float32)))
+            qq, tt = se3.compose(dq, dt, q_true[i], t_true[i])
+            q0.append(qq); t0.append(tt)
+    pos0 = pts + RNG.normal(0, point_pert, pts.shape).astype(np.float32)
+    cam_free = np.ones(n_cams, bool)
+    cam_free[0] = False
+    if not stereo:
+        cam_free[1] = False
+    return (cfg, prob, jnp.stack(q0), jnp.stack(t0), jnp.asarray(pos0),
+            jnp.asarray(cam_free), q_true, t_true, jnp.asarray(pts))
+
+
+def mean_pose_err(q, t, q_true, t_true):
+    d = se3.log(*se3.relative(q, t, q_true, t_true))
+    return float(jnp.linalg.norm(d, axis=-1).mean())
+
+
+def reproj_rmse(prob, q, t, pos, cfg):
+    e, _, _, z = ba._edge_terms(prob, q, t, pos, cfg)
+    m = np.asarray(prob.valid)
+    err = np.asarray(e)[:, :2][m]
+    return float(np.sqrt((err ** 2).sum(-1).mean()))
+
+
+def test_ba_stereo_converges():
+    (cfg, prob, q0, t0, pos0, cam_free, q_true, t_true, pts) = make_ba_problem()
+    err_before = mean_pose_err(q0, t0, q_true, t_true)
+    fn = jax.jit(lambda *a: ba.bundle_adjustment(*a, cfg=cfg))
+    q, t, pos, inl = fn(q0, t0, cam_free, pos0, jnp.ones(pos0.shape[0], bool), prob)
+    err_after = mean_pose_err(q, t, q_true, t_true)
+    # 0.3 px observation noise puts the statistical floor near 4e-3 here;
+    # exact convergence is asserted by test_ba_noiseless below
+    assert err_after < err_before * 0.15, (err_before, err_after)
+    assert err_after < 6e-3
+    # reprojection error at the noise floor
+    assert reproj_rmse(prob, q, t, pos, cfg) < 0.6
+    assert float(jnp.abs(pos - pts).mean()) < 0.02
+
+
+def test_ba_noiseless_exact():
+    (cfg, prob, q0, t0, pos0, cam_free, q_true, t_true, pts) = make_ba_problem(
+        noise_px=0.0)
+    fn = jax.jit(lambda *a: ba.bundle_adjustment(*a, cfg=cfg))
+    q, t, pos, _ = fn(q0, t0, cam_free, pos0, jnp.ones(pos0.shape[0], bool), prob)
+    assert mean_pose_err(q, t, q_true, t_true) < 1e-5
+    assert reproj_rmse(prob, q, t, pos, cfg) < 1e-3
+
+
+def test_ba_mono_converges():
+    (cfg, prob, q0, t0, pos0, cam_free, q_true, t_true, pts) = make_ba_problem(
+        stereo=False)
+    fn = jax.jit(lambda *a: ba.bundle_adjustment(*a, cfg=cfg))
+    q, t, pos, inl = fn(q0, t0, cam_free, pos0, jnp.ones(pos0.shape[0], bool), prob)
+    assert mean_pose_err(q, t, q_true, t_true) < 3e-3
+    assert reproj_rmse(prob, q, t, pos, cfg) < 0.6
+
+
+def test_ba_prunes_outliers():
+    (cfg, prob, q0, t0, pos0, cam_free, q_true, t_true, pts) = make_ba_problem()
+    obs = np.asarray(prob.obs).copy()
+    E = obs.shape[0]
+    out_idx = RNG.choice(np.where(np.asarray(prob.valid))[0], 200, replace=False)
+    obs[out_idx, :2] += RNG.uniform(20, 80, (200, 2)) * RNG.choice([-1, 1], (200, 2))
+    prob = prob._replace(obs=jnp.asarray(obs))
+    fn = jax.jit(lambda *a: ba.bundle_adjustment(*a, cfg=cfg))
+    q, t, pos, inl = fn(q0, t0, cam_free, pos0, jnp.ones(pos0.shape[0], bool), prob)
+    inl = np.asarray(inl)
+    assert not inl[out_idx].any()
+    assert mean_pose_err(q, t, q_true, t_true) < 5e-3
+
+
+def test_ba_respects_fixed_cameras_and_points():
+    (cfg, prob, q0, t0, pos0, cam_free, q_true, t_true, pts) = make_ba_problem()
+    mp_free = np.ones(pos0.shape[0], bool)
+    mp_free[:50] = False
+    fn = jax.jit(lambda *a: ba.bundle_adjustment(*a, cfg=cfg))
+    q, t, pos, _ = fn(q0, t0, cam_free, pos0, jnp.asarray(mp_free), prob)
+    np.testing.assert_array_equal(np.asarray(pos)[:50], np.asarray(pos0)[:50])
+    np.testing.assert_array_equal(np.asarray(q)[0], np.asarray(q0)[0])
+    np.testing.assert_array_equal(np.asarray(t)[0], np.asarray(t0)[0])

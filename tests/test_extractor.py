@@ -91,10 +91,15 @@ def _ic_angle_numpy(img, x, y):
 def test_ic_angle_matches_oracle():
     maps = np.asarray(extractor.ic_angle_maps(jnp.asarray(IMG, jnp.float32)))
     pts = [(60, 60), (100, 120), (150, 200), (30, 30), (200, 280)]
-    for y, x in pts:
+    xs = jnp.asarray([p[1] for p in pts], jnp.int32)
+    ys = jnp.asarray([p[0] for p in pts], jnp.int32)
+    fast = np.asarray(extractor.ic_angles_at(jnp.asarray(IMG, jnp.float32), xs, ys))
+    for i, (y, x) in enumerate(pts):
         expected = _ic_angle_numpy(IMG.astype(np.float32), x, y)
         got = np.arctan2(maps[1, y, x], maps[0, y, x])
         assert abs(np.angle(np.exp(1j * (got - expected)))) < 1e-4, (y, x)
+        # the production prefix-sum path must agree with the conv/oracle path
+        assert abs(np.angle(np.exp(1j * (fast[i] - expected)))) < 1e-3, (y, x)
 
 
 def _brief_numpy(blurred, x, y, angle):

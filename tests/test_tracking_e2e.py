@@ -1,0 +1,79 @@
+"""End-to-end RGB-D tracking on a synthetic ray-traced sequence with exact
+ground truth (the dataset-playback integration strategy of SURVEY.md §4)."""
+
+import numpy as np
+
+from orb_slam_2_ros_tpu.config import (CameraConfig, MapConfig, OrbConfig,
+                                       SENSOR_RGBD, SlamConfig)
+from orb_slam_2_ros_tpu.io.synthetic import SyntheticRGBD
+from orb_slam_2_ros_tpu.io import trajectory
+from orb_slam_2_ros_tpu.pipeline.tracking import OK, Tracker
+
+
+def small_cfg():
+    cam = CameraConfig(width=320, height=240, fx=260.0, fy=260.0,
+                       cx=159.5, cy=119.5, bf=20.0, th_depth=50.0)
+    return SlamConfig(
+        sensor=SENSOR_RGBD, camera=cam,
+        orb=OrbConfig(n_features=500, n_levels=3, max_kps=640),
+        map=MapConfig(max_kfs=16, max_mps=4096, max_kps=640))
+
+
+def test_rgbd_tracking_synthetic():
+    cfg = small_cfg()
+    ds = SyntheticRGBD(cfg, n_frames=16, seed=0)
+    tr = Tracker(cfg)
+    for i in range(len(ds)):
+        gray, depth = ds[i]
+        rec = tr.process(gray, depth, ds.timestamps[i])
+        assert rec.state == OK, f"frame {i} lost (state={rec.state})"
+        assert rec.n_inliers > 50 or i == 0
+    est = np.stack([r.c_w for r in tr.records])
+    gt = np.stack([ds.gt_pose_wc(i)[1] for i in range(len(ds))])
+    ate = trajectory.ate_rmse(est, gt)
+    assert ate < 0.03, f"ATE {ate:.4f} m"
+    assert tr.n_kfs >= 1
+    assert int(tr.map.n_mps) > 300
+
+
+def test_trajectory_io_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    poses = []
+    for _ in range(10):
+        ang = rng.normal(0, 0.3, 3)
+        th = np.linalg.norm(ang)
+        K = np.array([[0, -ang[2], ang[1]], [ang[2], 0, -ang[0]],
+                      [-ang[1], ang[0], 0]]) / max(th, 1e-9)
+        R = np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * K @ K
+        poses.append((R, rng.normal(0, 1, 3)))
+    ts = np.arange(10) * 0.1
+    p = tmp_path / "traj.txt"
+    trajectory.write_tum(str(p), ts, poses)
+    ts2, poses2 = trajectory.read_tum(str(p))
+    np.testing.assert_allclose(ts2, ts, atol=1e-6)
+    for (R1, c1), (R2, c2) in zip(poses, poses2):
+        np.testing.assert_allclose(R1, R2, atol=1e-5)
+        np.testing.assert_allclose(c1, c2, atol=1e-6)
+
+
+def test_ate_alignment_invariance():
+    rng = np.random.default_rng(1)
+    gt = np.cumsum(rng.normal(0, 0.1, (50, 3)), axis=0)
+    # apply an arbitrary rigid transform + noise to get the estimate
+    ang = np.array([0.3, -0.2, 0.5])
+    th = np.linalg.norm(ang)
+    K = np.array([[0, -ang[2], ang[1]], [ang[2], 0, -ang[0]],
+                  [-ang[1], ang[0], 0]]) / th
+    R = np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * K @ K
+    est = (R @ gt.T).T + np.array([4.0, -2.0, 1.0])
+    assert trajectory.ate_rmse(est, gt) < 1e-5
+    est_noisy = est + rng.normal(0, 0.01, est.shape)
+    ate = trajectory.ate_rmse(est_noisy, gt)
+    assert 0.005 < ate < 0.02
+
+
+def test_rpe():
+    gt = [(np.eye(3), np.array([0.1 * i, 0, 0])) for i in range(20)]
+    est = [(np.eye(3), np.array([0.1 * i, 0, 0])) for i in range(20)]
+    t_err, r_err = trajectory.rpe(est, gt)
+    assert t_err < 1e-9 and r_err < 1e-9
