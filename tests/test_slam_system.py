@@ -61,8 +61,12 @@ def test_localization_against_loaded_map(run_result, tmp_path):
     assert len(ok_frames) >= 8   # re-acquires from near the map origin
     # map unchanged in localization mode (no KF insertion path ran)
     assert int(np.asarray(sys2.tracker.map.n_mps)) == n_mps_before
-    # localized poses agree with ground truth
+    # localized poses agree with ground truth expressed in the map frame:
+    # the map is anchored at frame 0's camera (identity init pose), so
+    # gt positions must be re-expressed relative to gt frame 0
+    R0, c0 = ds.gt_pose_wc(0)
     est = np.stack([r.c_w for r in ok_frames])
-    gt = np.stack([ds.gt_pose_wc(r.frame_id)[1] for r in ok_frames])
+    gt = np.stack([R0.T @ (ds.gt_pose_wc(r.frame_id)[1] - c0)
+                   for r in ok_frames])
     err = np.linalg.norm(est - gt, axis=1)
     assert np.median(err) < 0.05, err

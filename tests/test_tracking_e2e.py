@@ -4,7 +4,7 @@ ground truth (the dataset-playback integration strategy of SURVEY.md §4)."""
 import numpy as np
 
 from orb_slam_2_ros_tpu.config import (CameraConfig, MapConfig, OrbConfig,
-                                       SENSOR_RGBD, SlamConfig)
+                                       SENSOR_RGBD, SlamConfig, TrackingConfig)
 from orb_slam_2_ros_tpu.io.synthetic import SyntheticRGBD
 from orb_slam_2_ros_tpu.io import trajectory
 from orb_slam_2_ros_tpu.pipeline.tracking import OK, Tracker
@@ -16,7 +16,10 @@ def small_cfg():
     return SlamConfig(
         sensor=SENSOR_RGBD, camera=cam,
         orb=OrbConfig(n_features=500, n_levels=3, max_kps=640),
-        map=MapConfig(max_kfs=16, max_mps=4096, max_kps=640))
+        map=MapConfig(max_kfs=16, max_mps=4096, max_kps=640),
+        # the reference's 500-keypoint init gate (Tracking.cc:548) assumes a
+        # 1200-feature budget; scale it to this test's 500-feature config
+        tracking=TrackingConfig(min_init_stereo_kps=200))
 
 
 def test_rgbd_tracking_synthetic():
