@@ -8,12 +8,19 @@ exercised by bench.py, not the unit suite. Must run before jax import.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+# the axon sitecustomize force-registers the TPU backend via
+# jax.config.update("jax_platforms", "axon,cpu") at interpreter start, which
+# overrides the env var — override it back so the suite really runs on the
+# virtual 8-device CPU mesh (deterministic, no remote-compile round trips)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 # persistent compile cache: the suite re-jits the same programs every run
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
