@@ -100,13 +100,24 @@ def quat_from_matrix(m: jnp.ndarray) -> jnp.ndarray:
     return quat_normalize(q)
 
 
+def _safe_norm(v, small_th):
+    """(norm, norm2, small) with a differentiation-safe norm: jacfwd through
+    ``jnp.linalg.norm`` at 0 yields NaN tangents that ``jnp.where`` cannot
+    block (both branches are differentiated) — so sqrt is evaluated away
+    from 0 and the small branch must use norm2 (polynomial) only."""
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    small = n2 < small_th * small_th
+    n = jnp.sqrt(jnp.where(small, 1.0, n2))
+    return jnp.where(small, 0.0, n), n2, small
+
+
 def quat_exp(phi: jnp.ndarray) -> jnp.ndarray:
     """so(3) vector (..., 3) -> unit quaternion."""
-    theta = jnp.linalg.norm(phi, axis=-1, keepdims=True)
+    theta, th2, small = _safe_norm(phi, 1e-6)
     half = 0.5 * theta
-    small = theta < 1e-6
-    k = jnp.where(small, 0.5 - theta**2 / 48.0, jnp.sin(half) / jnp.maximum(theta, _EPS))
-    w = jnp.cos(half)
+    k = jnp.where(small, 0.5 - th2 / 48.0,
+                  jnp.sin(half) / jnp.maximum(theta, _EPS))
+    w = jnp.where(small, 1.0 - th2 / 8.0, jnp.cos(half))
     return jnp.concatenate([w, k * phi], axis=-1)
 
 
@@ -115,10 +126,10 @@ def quat_log(q: jnp.ndarray) -> jnp.ndarray:
     q = quat_normalize(q)
     w = jnp.clip(q[..., :1], -1.0, 1.0)
     v = q[..., 1:]
-    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    n, _, small = _safe_norm(v, 1e-6)
     theta = 2.0 * jnp.arctan2(n, w)
-    small = n < 1e-6
-    k = jnp.where(small, 2.0 / jnp.maximum(w, _EPS), theta / jnp.maximum(n, _EPS))
+    k = jnp.where(small, 2.0 / jnp.maximum(w, _EPS),
+                  theta / jnp.maximum(n, _EPS))
     return k * v
 
 
@@ -157,9 +168,7 @@ def exp(xi: jnp.ndarray):
     """
     rho, phi = xi[..., :3], xi[..., 3:]
     q = quat_exp(phi)
-    theta = jnp.linalg.norm(phi, axis=-1, keepdims=True)
-    th2 = theta * theta
-    small = theta < 1e-5
+    theta, th2, small = _safe_norm(phi, 1e-5)
     a = jnp.where(small, 0.5 - th2 / 24.0,
                   (1 - jnp.cos(theta)) / jnp.maximum(th2, _EPS))
     b = jnp.where(small, 1.0 / 6.0 - th2 / 120.0,
@@ -172,9 +181,7 @@ def exp(xi: jnp.ndarray):
 
 def log(q: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     phi = quat_log(q)
-    theta = jnp.linalg.norm(phi, axis=-1, keepdims=True)
-    th2 = theta * theta
-    small = theta < 1e-5
+    theta, th2, small = _safe_norm(phi, 1e-5)
     a = jnp.where(small, 1.0 / 12.0 + th2 / 720.0,
                   (1.0 - 0.5 * theta * jnp.cos(0.5 * theta) /
                    jnp.maximum(jnp.sin(0.5 * theta), _EPS)) / jnp.maximum(th2, _EPS))

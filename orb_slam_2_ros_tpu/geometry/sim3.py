@@ -56,7 +56,7 @@ def exp(xi):
     rho, phi, sigma = xi[..., :3], xi[..., 3:6], xi[..., 6:7]
     q = se3.quat_exp(phi)
     s = jnp.exp(sigma)
-    theta = jnp.linalg.norm(phi, axis=-1, keepdims=True)
+    theta, _, _ = se3._safe_norm(phi, 1e-7)
 
     # W = A*I + B*[phi]x + C*[phi]x^2 with the standard sim3 coefficients
     sig2 = sigma * sigma
