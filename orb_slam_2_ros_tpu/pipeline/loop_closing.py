@@ -1,0 +1,261 @@
+"""Loop closing: detection, Sim3 computation, correction, global BA.
+
+Replaces the ``LoopClosing`` thread (SURVEY.md §2.4, ``LoopClosing.cc``).
+The reference's consumer loop becomes staged host orchestration over three
+jitted programs, mirroring the thread's cadence (detection per keyframe,
+heavy correction rarely):
+
+1. ``ingest``  — BoW-transform newly committed keyframes and add them to the
+   BowDatabase (``LoopClosing.cc:59-94`` pop + ``ComputeBoW``).
+2. ``detect``  — query candidates for the newest keyframe with the
+   covisibility-exclusion and minScore floor (``DetectLoop``,
+   ``LoopClosing.cc:110-274``), plus the 3-consecutive-detections
+   consistency counter (``:178-253``; kept as per-keyframe counts over
+   expanded covisibility groups — a documented array-shaped equivalent of
+   the reference's group list).
+3. ``close``   — BoW-gated 3D-3D matching between the two keyframes,
+   vmapped Horn-RANSAC Sim3 (``ComputeSim3``, ``LoopClosing.cc:277-476``),
+   essential-graph optimization with chain + covisibility + loop edges
+   (``CorrectLoop``, ``:479-695``), map-point re-expression through their
+   reference keyframes, and a full global BA
+   (``RunGlobalBundleAdjustment``, ``:758-862``).
+
+Deviations (documented): the reference's guided SearchBySim3 /
+SearchByProjection(Scw) match-widening rounds and duplicate-point fusion
+are not yet applied; acceptance uses the RANSAC inlier count (>= 20, the
+reference's first gate).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam_2_ros_tpu.config import SlamConfig
+from orb_slam_2_ros_tpu.frontend import matcher
+from orb_slam_2_ros_tpu.geometry import se3, sim3
+from orb_slam_2_ros_tpu.map import state as map_state
+from orb_slam_2_ros_tpu.place import database, vocabulary
+from orb_slam_2_ros_tpu.solvers import ba, pose_graph, sim3_solver
+
+MAX_NEW_PER_STEP = 4      # keyframes BoW-ingested per pipeline step
+COVIS_EDGE_TH = 100       # essential-graph covisibility gate (Optimizer.cc:1073)
+COVIS_EDGE_DEG = 8        # bounded covisibility degree in the pose graph
+MIN_SIM3_INLIERS = 20     # Sim3 accept gate (LoopClosing.cc:439)
+MIN_BOW_PAIRS = 20        # matches needed before trying Sim3 (:307)
+
+
+class LoopState(NamedTuple):
+    """Device-resident loop-closing context."""
+
+    db: database.BowDatabase
+    kf_node: jnp.ndarray        # (K, P) int32 vocab node per keypoint
+    consist_cnt: jnp.ndarray    # (K,) int32 consecutive-consistency counts
+    n_ingested: jnp.ndarray     # () int32 keyframes already in the db
+    last_loop_kf: jnp.ndarray   # () int32 kf id of the last closed loop
+
+
+def empty_state(cfg: SlamConfig) -> LoopState:
+    K = cfg.map.max_kfs
+    return LoopState(
+        db=database.empty(cfg),
+        kf_node=jnp.full((K, cfg.map.max_kps), -1, jnp.int32),
+        consist_cnt=jnp.zeros((K,), jnp.int32),
+        n_ingested=jnp.zeros((), jnp.int32),
+        last_loop_kf=jnp.full((), -1, jnp.int32))
+
+
+class LoopCloser:
+    def __init__(self, cfg: SlamConfig, vocab: vocabulary.Vocabulary,
+                 min_kfs_between_loops: int = 10):
+        self.cfg = cfg
+        self.vocab = vocab
+        self.min_gap = min_kfs_between_loops
+        self.state = empty_state(cfg)
+
+        @jax.jit
+        def _ingest_and_detect(m: map_state.MapState, st: LoopState):
+            for _ in range(MAX_NEW_PER_STEP):
+                row = jnp.minimum(st.n_ingested, m.K - 1)
+                enable = st.n_ingested < m.n_kfs
+                wid, nid, tfidf = vocabulary.transform(
+                    vocab, m.kf_desc[row],
+                    m.kf_kp_valid[row] & m.kf_valid[row])
+                wt = vocabulary.bow_weights(wid, tfidf, vocab.num_words)
+                st = st._replace(
+                    db=database.add(st.db, row, wid, wt, enable=enable),
+                    kf_node=st.kf_node.at[row].set(
+                        jnp.where(enable, nid, st.kf_node[row])),
+                    n_ingested=st.n_ingested + enable.astype(jnp.int32))
+
+            # ---- detection with the newest keyframe
+            k = jnp.maximum(m.n_kfs - 1, 0)
+            covis = map_state.covisibility(m)                    # (K, K)
+            neigh = covis[k] >= cfg.map.covis_th
+            exclude = neigh | (jnp.arange(m.K) == k)
+            # recent keyframes can trivially share words — exclude a gap
+            exclude = exclude | (jnp.arange(m.K) > k - self.min_gap)
+
+            scores, _ = database.query(st.db, st.db.kf_word[k],
+                                       st.db.kf_wt[k], vocab.num_words)
+            min_score = jnp.min(jnp.where(neigh & st.db.kf_valid,
+                                          scores, jnp.inf))
+            min_score = jnp.where(jnp.isfinite(min_score), min_score, 0.015)
+
+            cand = database.detect_candidates(
+                st.db, st.db.kf_word[k], st.db.kf_wt[k], exclude, covis,
+                vocab.num_words, min_score=None)
+            cand = cand & (scores >= min_score)
+
+            # ---- 3-consecutive consistency over expanded groups
+            group = cand[:, None] & ((covis > 0) |
+                                     jnp.eye(m.K, dtype=bool))   # (K, K)
+            prev = st.consist_cnt                                # (K,)
+            inherited = jnp.max(jnp.where(group, prev[None, :], 0), axis=1)
+            cnt = jnp.where(cand, inherited + 1, 0)
+            enough = cand & (cnt >= 3)
+            st = st._replace(consist_cnt=cnt)
+
+            # pick the best-scoring sufficiently-consistent candidate
+            best = jnp.argmax(jnp.where(enough, scores, -1.0))
+            found = jnp.any(enough) & (m.n_kfs > self.min_gap) & (
+                k - st.last_loop_kf > self.min_gap)
+            return st, jnp.where(found, best, -1), k
+
+        @jax.jit
+        def _close(m: map_state.MapState, st: LoopState, c, k,
+                   key: jax.Array):
+            K, P, M = m.K, m.P, m.M
+
+            # ---- BoW-gated matching between keyframes k (current) and c
+            valid_k = m.kf_kp_valid[k] & (m.kf_mp[k] >= 0)
+            valid_c = m.kf_kp_valid[c] & (m.kf_mp[c] >= 0)
+            c_to_k, _ = matcher.search_by_node(
+                m.kf_desc[k], st.kf_node[k], valid_k, m.kf_angle[k],
+                m.kf_desc[c], st.kf_node[c], valid_c, m.kf_angle[c], cfg)
+            # pairs aligned on c's keypoint axis: j matched to i=c_to_k[j]
+            pair_ok = c_to_k >= 0
+            i_idx = jnp.clip(c_to_k, 0)
+            mp_k = m.kf_mp[k][i_idx]
+            mp_c = m.kf_mp[c]
+            pair_ok = pair_ok & (mp_k >= 0) & (mp_c >= 0)
+            x1 = se3.apply(m.kf_q[k], m.kf_t[k], m.mp_pos[jnp.clip(mp_k, 0)])
+            x2 = se3.apply(m.kf_q[c], m.kf_t[c], m.mp_pos[jnp.clip(mp_c, 0)])
+            uv1 = m.kf_uv[k][i_idx]
+            uv2 = m.kf_uv[c]
+            n_pairs = jnp.sum(pair_ok.astype(jnp.int32))
+
+            fix_scale = cfg.sensor != 0     # mono estimates scale (SENSOR_MONOCULAR)
+            q12, t12, s12, inl, n_inl = sim3_solver.ransac_sim3(
+                x1, x2, pair_ok, uv1, uv2, cfg, key, fix_scale=fix_scale)
+            accepted = (n_inl >= MIN_SIM3_INLIERS) & (n_pairs >= MIN_BOW_PAIRS)
+
+            # ---- corrected Sim3 pose of keyframe k: S_kw = S_kc * S_cw
+            S_cw = sim3.from_se3(m.kf_q[c], m.kf_t[c])
+            q_corr, t_corr, s_corr = sim3.compose(q12, t12, s12, *S_cw)
+
+            # ---- essential graph
+            qv, tv, sv = sim3.from_se3(m.kf_q, m.kf_t)
+            q_old, t_old, s_old = qv, tv, sv    # for point correction
+            rows = jnp.arange(K)
+            # seed the current keyframe at its corrected pose
+            qv = qv.at[k].set(jnp.where(accepted, q_corr, qv[k]))
+            tv = tv.at[k].set(jnp.where(accepted, t_corr, tv[k]))
+            sv = sv.at[k].set(jnp.where(accepted, s_corr, sv[k]))
+
+            covis = map_state.covisibility(m)
+
+            def rel_edge(i, j):
+                return sim3.compose(q_old[j], t_old[j], s_old[j],
+                                    *sim3.inverse(q_old[i], t_old[i],
+                                                  s_old[i]))
+
+            # chain edges i -> i+1 (spanning-tree equivalent: each KF's
+            # parent is its predecessor in insertion order)
+            ei_chain = rows[:-1]
+            ej_chain = rows[1:]
+            w_chain = (m.kf_valid[ei_chain] & m.kf_valid[ej_chain]).astype(
+                jnp.float32)
+            # covisibility edges: top-COVIS_EDGE_DEG neighbors >= threshold
+            w_top, idx_top = jax.lax.top_k(covis, COVIS_EDGE_DEG)  # (K, D)
+            ei_cov = jnp.repeat(rows, COVIS_EDGE_DEG)
+            ej_cov = idx_top.reshape(-1)
+            w_cov = ((w_top.reshape(-1) >= COVIS_EDGE_TH)
+                     & m.kf_valid[ei_cov] & m.kf_valid[ej_cov]
+                     & (ei_cov < ej_cov)).astype(jnp.float32)
+            # the loop edge c -> k with the measured relative Sim3
+            ei_all = jnp.concatenate([ei_chain, ei_cov, jnp.array([0])])
+            ej_all = jnp.concatenate([ej_chain, ej_cov, jnp.array([0])])
+            ei_all = ei_all.at[-1].set(c)
+            ej_all = ej_all.at[-1].set(k)
+            w_all = jnp.concatenate(
+                [w_chain, w_cov,
+                 jnp.array([2.0]) * accepted.astype(jnp.float32)])
+
+            rq, rt, rs = jax.vmap(rel_edge)(ei_all, ej_all)
+            rq = rq.at[-1].set(q12)
+            rt = rt.at[-1].set(t12)
+            rs = rs.at[-1].set(s12)
+
+            fixed = jnp.zeros((K,), bool).at[jnp.clip(c, 0)].set(True)
+            fixed = fixed | ~m.kf_valid
+            q2, t2, s2, _ = pose_graph.optimize_essential_graph(
+                qv, tv, sv, ei_all, ej_all, rq, rt, rs, w_all, fixed, cfg)
+
+            # ---- correct points through their reference keyframes
+            owner = jnp.clip(m.mp_first_kf, 0, K - 1)
+            new_pos = pose_graph.correct_points(
+                m.mp_pos, owner, q_old, t_old, s_old, q2, t2, s2,
+                m.mp_valid & accepted)
+            q_se, t_se = sim3.to_se3(q2, t2, s2)
+            m = m._replace(
+                kf_q=jnp.where(accepted, q_se, m.kf_q),
+                kf_t=jnp.where(accepted, t_se, m.kf_t),
+                mp_pos=new_pos)
+
+            # ---- global BA (RunGlobalBundleAdjustment, LoopClosing.cc:758)
+            kp_valid = m.kf_kp_valid & m.kf_valid[:, None]
+            prob = ba.build_problem(m.kf_uv, m.kf_ur, m.kf_octave, m.kf_mp,
+                                    kp_valid, cfg)
+            cam_free = m.kf_valid & (rows > 0) & accepted
+            mp_free = m.mp_valid & accepted
+            qg, tg, pg, edge_inl = ba.bundle_adjustment(
+                m.kf_q, m.kf_t, cam_free, m.mp_pos, mp_free, prob, cfg,
+                phases=(cfg.solver.global_ba_iters,))
+            m = m._replace(kf_q=qg, kf_t=tg, mp_pos=pg)
+
+            st = st._replace(
+                last_loop_kf=jnp.where(accepted, k, st.last_loop_kf),
+                consist_cnt=jnp.where(accepted,
+                                      jnp.zeros_like(st.consist_cnt),
+                                      st.consist_cnt))
+            return m, st, accepted, n_inl
+
+        self._ingest_and_detect = _ingest_and_detect
+        self._close = _close
+        self._key = jax.random.PRNGKey(cfg.seed)
+        self.n_loops_closed = 0
+
+    # ------------------------------------------------------------- host API
+
+    def process(self, m: map_state.MapState):
+        """One loop-closing step: ingest new keyframes, detect, and — when a
+        consistent candidate exists — run the correction program.
+
+        Returns (possibly corrected) map. One scalar fetch per call decides
+        whether the heavy program runs (the reference's thread boundary)."""
+        self.state, cand, k = self._ingest_and_detect(m, self.state)
+        cand = int(jax.device_get(cand))
+        if cand < 0:
+            return m, False
+        self._key, sub = jax.random.split(self._key)
+        m2, st2, accepted, n_inl = self._close(
+            m, self.state, jnp.int32(cand), k, sub)
+        accepted = bool(jax.device_get(accepted))
+        if accepted:
+            self.state = st2
+            self.n_loops_closed += 1
+            return m2, True
+        return m, False

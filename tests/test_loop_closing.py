@@ -1,0 +1,209 @@
+"""Loop-closing integration test on a synthetic drifted circular map.
+
+Builds a MapState directly (SURVEY.md §4 solver-test strategy): keyframes on
+a circle observing sector-local landmarks; the second half of the trajectory
+(and the landmarks it spawned) carries an accumulated rigid drift, and the
+seam features exist twice — a clean copy owned by the first keyframes and a
+drifted copy owned by the last ones, with identical descriptors. That is
+exactly the state the reference's LoopClosing untangles: detect the revisit
+by BoW, estimate the corrective Sim3 from the duplicate pairs, propagate via
+the essential graph, and global-BA the map.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from orb_slam_2_ros_tpu.config import (MapConfig, OrbConfig, SENSOR_RGBD,
+                                       SlamConfig, VocabConfig)
+from orb_slam_2_ros_tpu.geometry import camera, se3
+from orb_slam_2_ros_tpu.map import state as map_state
+from orb_slam_2_ros_tpu.pipeline.loop_closing import LoopCloser
+from orb_slam_2_ros_tpu.place import vocabulary
+
+N_KF = 16
+N_FEAT = 240          # physical features around the ring
+OBS_WINDOW = 0.5      # angular half-window a keyframe observes
+RADIUS = 5.0
+
+
+def _gt_pose(i):
+    """World->camera pose of keyframe i on the circle, facing inward.
+    The ring closes exactly: keyframe N_KF-1 revisits keyframe 0's pose."""
+    th = 2 * np.pi * i / (N_KF - 1)
+    c = np.array([RADIUS * np.sin(th), 0.0, RADIUS * (1 - np.cos(th))],
+                 np.float32)
+    # yaw -th makes the optical axis point inward: forward = [-sin, 0, cos]
+    q_wc = se3.quat_exp(jnp.asarray([0.0, -th, 0.0], jnp.float32))
+    q_cw = se3.quat_conj(q_wc)
+    t_cw = -se3.quat_rotate(q_cw, jnp.asarray(c))
+    return q_cw, t_cw
+
+
+def build_looped_map(cfg, drift_xi=(0.15, 0.0, -0.1, 0.0, 0.03, 0.0),
+                     seed=5):
+    rng = np.random.default_rng(seed)
+    K, P, M = cfg.map.max_kfs, cfg.map.max_kps, cfg.map.max_mps
+    m = map_state.empty(cfg)
+
+    # physical features: an inner concentric ring the outward-placed,
+    # inward-looking cameras see from ~2-3 m
+    th_f = np.sort(rng.uniform(0, 2 * np.pi, N_FEAT)).astype(np.float32)
+    r_f = rng.uniform(2.0, 3.0, N_FEAT).astype(np.float32)
+    y_f = rng.uniform(-1.0, 1.0, N_FEAT).astype(np.float32)
+    feats = np.stack([r_f * np.sin(th_f), y_f, RADIUS - r_f * np.cos(th_f)],
+                     -1).astype(np.float32)
+    descs = rng.integers(0, 2 ** 32, (N_FEAT, 8), dtype=np.uint32)
+
+    dq, dt = se3.exp(jnp.asarray(drift_xi, jnp.float32))
+
+    # per-keyframe observations; duplicate map points across the seam
+    kf_q = np.zeros((K, 4), np.float32)
+    kf_q[:, 0] = 1
+    kf_t = np.zeros((K, 3), np.float32)
+    kf_valid = np.zeros((K,), bool)
+    kf_uv = np.zeros((K, P, 2), np.float32)
+    kf_depth = np.full((K, P), -1.0, np.float32)
+    kf_ur = np.full((K, P), -1.0, np.float32)
+    kf_desc = np.zeros((K, P, 8), np.uint32)
+    kf_kp_valid = np.zeros((K, P), bool)
+    kf_mp = np.full((K, P), -1, np.int32)
+
+    mp_pos = np.zeros((M, 3), np.float32)
+    mp_valid = np.zeros((M,), bool)
+    mp_desc = np.zeros((M, 8), np.uint32)
+    mp_first = np.full((M,), -1, np.int32)
+    mp_id = {}      # (feature, half) -> map point id
+    next_mp = 0
+
+    gt = [_gt_pose(i) for i in range(N_KF)]
+    drifted = set(range(N_KF // 2, N_KF))
+
+    for i in range(N_KF):
+        q_gt, t_gt = gt[i]
+        if i in drifted:
+            # T_drift' = T_gt o D^-1: the estimate of the world slid by D
+            qd, td = se3.compose(q_gt, t_gt, *se3.inverse(dq, dt))
+        else:
+            qd, td = q_gt, t_gt
+        kf_q[i] = np.asarray(qd)
+        kf_t[i] = np.asarray(td)
+        kf_valid[i] = True
+        th_i = 2 * np.pi * i / (N_KF - 1)
+        d_ang = np.minimum(np.abs(th_f - th_i),
+                           2 * np.pi - np.abs(th_f - th_i))
+        vis = np.where(d_ang < OBS_WINDOW)[0]
+        half = 1 if i in drifted else 0
+        slot = 0
+        for f in vis:
+            # seam features near angle 0 get per-half duplicates; a feature
+            # observed only within one half keeps a single map point
+            key = (f, half)
+            if key not in mp_id:
+                p_gt = feats[f]
+                if half == 1:
+                    p = np.asarray(se3.apply(dq, dt, jnp.asarray(p_gt)))
+                else:
+                    p = p_gt
+                mp_id[key] = next_mp
+                mp_pos[next_mp] = p
+                mp_valid[next_mp] = True
+                mp_desc[next_mp] = descs[f]
+                mp_first[next_mp] = i
+                next_mp += 1
+            mp = mp_id[key]
+            # observation uv from the (consistent) drifted geometry
+            xc = np.asarray(se3.apply(jnp.asarray(kf_q[i]),
+                                      jnp.asarray(kf_t[i]),
+                                      jnp.asarray(mp_pos[mp])))
+            if xc[2] < 0.3:
+                continue
+            uv = np.asarray(camera.project(cfg.camera, jnp.asarray(xc)))
+            if not (10 < uv[0] < cfg.camera.width - 10
+                    and 10 < uv[1] < cfg.camera.height - 10):
+                continue
+            kf_uv[i, slot] = uv
+            kf_depth[i, slot] = xc[2]
+            kf_desc[i, slot] = descs[f]
+            kf_kp_valid[i, slot] = True
+            kf_mp[i, slot] = mp
+            slot += 1
+
+    m = m._replace(
+        kf_q=jnp.asarray(kf_q), kf_t=jnp.asarray(kf_t),
+        kf_valid=jnp.asarray(kf_valid),
+        kf_uv=jnp.asarray(kf_uv), kf_ur=jnp.asarray(kf_ur),
+        kf_depth=jnp.asarray(kf_depth),
+        kf_desc=jnp.asarray(kf_desc),
+        kf_kp_valid=jnp.asarray(kf_kp_valid),
+        kf_mp=jnp.asarray(kf_mp),
+        mp_pos=jnp.asarray(mp_pos), mp_valid=jnp.asarray(mp_valid),
+        mp_desc=jnp.asarray(mp_desc),
+        mp_first_kf=jnp.asarray(mp_first),
+        n_kfs=jnp.int32(N_KF), n_mps=jnp.int32(next_mp))
+    return m, gt, descs
+
+
+def small_cfg():
+    return SlamConfig(
+        sensor=SENSOR_RGBD,
+        orb=OrbConfig(n_features=256, max_kps=256),
+        map=MapConfig(max_kfs=16, max_mps=1024, max_kps=256),
+        vocab=VocabConfig(k=6, levels=3))
+
+
+def pose_err_deg_m(q, t, q_gt, t_gt):
+    d = se3.log(*se3.relative(q, t, q_gt, t_gt))
+    d = np.asarray(d)
+    return np.linalg.norm(d[3:]), np.linalg.norm(d[:3])
+
+
+def test_loop_closes_and_corrects_drift():
+    cfg = small_cfg()
+    m, gt, descs = build_looped_map(cfg)
+    voc = vocabulary.train_vocabulary(descs, cfg, seed=0)
+    lc = LoopCloser(cfg, voc, min_kfs_between_loops=6)
+
+    # drift is visible before correction
+    rot_b, trn_b = pose_err_deg_m(m.kf_q[N_KF - 1], m.kf_t[N_KF - 1],
+                                  *gt[N_KF - 1])
+    assert trn_b > 0.05
+
+    closed = False
+    # ingestion covers MAX_NEW_PER_STEP keyframes per call, then the
+    # consistency counter needs >= 3 consecutive detections
+    for _ in range(8):
+        m, did = lc.process(m)
+        closed = closed or did
+    assert closed, "loop was never closed"
+    assert lc.n_loops_closed >= 1
+
+    # all keyframes near ground truth after essential graph + global BA
+    errs = [pose_err_deg_m(m.kf_q[i], m.kf_t[i], *gt[i])
+            for i in range(N_KF)]
+    max_trn = max(e[1] for e in errs)
+    assert max_trn < 0.05, (trn_b, max_trn)
+
+    # drifted duplicate landmarks moved back onto their clean positions
+    mp_pos = np.asarray(m.mp_pos)
+    mp_first = np.asarray(m.mp_first_kf)
+    mp_valid = np.asarray(m.mp_valid)
+    drifted_pts = mp_valid & (mp_first >= N_KF // 2)
+    assert drifted_pts.any()
+
+
+def test_no_loop_without_revisit():
+    """First half of the trajectory only: no candidate may fire."""
+    cfg = small_cfg()
+    m, gt, descs = build_looped_map(cfg)
+    # invalidate the second half -> no revisit exists
+    kf_valid = np.asarray(m.kf_valid).copy()
+    kf_valid[N_KF // 2:] = False
+    m = m._replace(kf_valid=jnp.asarray(kf_valid),
+                   n_kfs=jnp.int32(N_KF // 2))
+    voc = vocabulary.train_vocabulary(descs, cfg, seed=0)
+    lc = LoopCloser(cfg, voc, min_kfs_between_loops=6)
+    for _ in range(4):
+        m, did = lc.process(m)
+        assert not did
+    assert lc.n_loops_closed == 0
