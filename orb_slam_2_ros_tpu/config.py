@@ -147,7 +147,10 @@ class VocabConfig:
 
     k: int = 10
     levels: int = 4
-    levels_up: int = 1        # FeatureVector grouping level (Frame.cc:433 uses 4 of 6)
+    # FeatureVector grouping level distance: the reference groups at level
+    # L - 4 = 2 of its 6-level tree (~100 nodes, Frame.cc:433); two levels
+    # up of this 4-level tree gives the same ~100-node granularity
+    levels_up: int = 2
 
     @property
     def num_words(self) -> int:

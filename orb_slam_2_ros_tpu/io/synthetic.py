@@ -148,3 +148,18 @@ class SyntheticRGBD:
         """Ground truth world-to-camera (R, t) like the internal convention."""
         R_wc, c_w = self.poses[i]
         return R_wc.T, -R_wc.T @ c_w
+
+
+class SyntheticStereo(SyntheticRGBD):
+    """Rectified stereo pairs: the right camera sits `baseline = bf/fx`
+    along the left camera's +x axis (same orientation — rectified), so
+    ground-truth disparity is exactly bf/depth."""
+
+    def __getitem__(self, i):
+        R_wc, c_w = self.poses[i]
+        cam = self.cfg.camera
+        baseline = cam.bf / cam.fx
+        gray_l, _ = render(self.planes, R_wc, c_w, cam)
+        c_r = c_w + R_wc @ np.array([baseline, 0.0, 0.0], np.float32)
+        gray_r, _ = render(self.planes, R_wc, c_r, cam)
+        return gray_l, gray_r

@@ -24,19 +24,158 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from orb_slam_2_ros_tpu.config import SlamConfig
+from orb_slam_2_ros_tpu.config import SlamConfig, SENSOR_MONOCULAR
+from orb_slam_2_ros_tpu.frontend import matcher
+from orb_slam_2_ros_tpu.geometry import camera, se3, triangulate as tri
 from orb_slam_2_ros_tpu.map import state as map_state
 from orb_slam_2_ros_tpu.solvers import ba
 
+N_TRI_NEIGH = 4      # covisible neighbors triangulated against per step
+                     # (the reference uses 10/20, LocalMapping.cc:247; the
+                     # static pass count trades breadth for per-step cost —
+                     # later steps revisit the remaining neighbors)
+
+
+def create_new_map_points(m: map_state.MapState, cfg: SlamConfig,
+                          max_spawn_per_neigh: int = 256):
+    """Triangulate new landmarks between the newest keyframe and its best
+    covisible neighbors (``LocalMapping::CreateNewMapPoints``,
+    ``LocalMapping.cc:239-500``): epipolar-gated descriptor matching of
+    unmatched keypoints, batched DLT triangulation, then the reference's
+    gate stack — cheirality, parallax, reprojection chi2 in both views,
+    scale-ratio consistency — as one mask.
+
+    Returns (m, n_spawned)."""
+    K_int = camera.intrinsics(cfg.camera)
+    k = jnp.maximum(m.n_kfs - 1, 0)
+    covis = map_state.covisibility(m)
+    w_top, idx_top = jax.lax.top_k(covis[k], N_TRI_NEIGH)
+
+    # median scene depth of the new keyframe for the baseline gate
+    # (ComputeSceneMedianDepth, KeyFrame.cc:767-817)
+    pw = m.mp_pos[jnp.clip(m.kf_mp[k], 0)]
+    z_k = se3.apply(m.kf_q[k], m.kf_t[k], pw)[:, 2]
+    has = m.kf_mp[k] >= 0
+    med_depth = jnp.median(jnp.where(has, z_k, jnp.nan))
+    med_depth = jnp.nan_to_num(med_depth, nan=1.0)
+
+    total = jnp.int32(0)
+    ratio_factor = 1.5 * cfg.orb.scale_factor
+
+    for rank in range(N_TRI_NEIGH):
+        n = idx_top[rank]
+        ck = se3.camera_center(m.kf_q[k], m.kf_t[k])
+        cn = se3.camera_center(m.kf_q[n], m.kf_t[n])
+        baseline = jnp.linalg.norm(ck - cn)
+        if cfg.sensor == SENSOR_MONOCULAR:
+            base_ok = baseline / jnp.maximum(med_depth, 1e-6) > 0.01
+        else:
+            base_ok = baseline > cfg.camera.bf / cfg.camera.fx
+        neigh_ok = (w_top[rank] >= cfg.map.covis_th) & (n != k) \
+            & m.kf_valid[n] & m.kf_valid[k] & base_ok
+
+        # F12: x_n^T F x_k = 0 (ComputeF12, LocalMapping.cc:585-602)
+        rq, rt = se3.relative(m.kf_q[n], m.kf_t[n], m.kf_q[k], m.kf_t[k])
+        tx = jnp.array([[0, -rt[2], rt[1]],
+                        [rt[2], 0, -rt[0]],
+                        [-rt[1], rt[0], 0.0]])
+        E = tx @ se3.quat_to_matrix(rq)
+        Kinv = jnp.linalg.inv(K_int)
+        F12 = Kinv.T @ E @ Kinv
+
+        free_k = m.kf_kp_valid[k] & (m.kf_mp[k] < 0)
+        free_n = m.kf_kp_valid[n] & (m.kf_mp[n] < 0) & neigh_ok
+        n_to_k, _ = matcher.search_for_triangulation(
+            m.kf_desc[k], m.kf_uv[k], m.kf_ur[k], m.kf_octave[k],
+            m.kf_angle[k], free_k,
+            m.kf_desc[n], m.kf_uv[n], m.kf_ur[n], m.kf_octave[n],
+            m.kf_angle[n], free_n, F12, cfg)
+
+        pair = n_to_k >= 0                          # aligned on n's kp axis
+        i_idx = jnp.clip(n_to_k, 0)
+        uv_k = m.kf_uv[k][i_idx]
+        uv_n = m.kf_uv[n]
+        P1 = tri.projection_matrix(K_int, m.kf_q[k], m.kf_t[k])
+        P2 = tri.projection_matrix(K_int, m.kf_q[n], m.kf_t[n])
+        xw = tri.triangulate_dlt(P1, P2, uv_k, uv_n)
+
+        # ---- gate stack (LocalMapping.cc:366-479)
+        z1 = tri.depth_in_camera(m.kf_q[k], m.kf_t[k], xw)
+        z2 = tri.depth_in_camera(m.kf_q[n], m.kf_t[n], xw)
+        cosp = tri.parallax_cos(xw, ck, cn)
+        pr1 = camera.project(cfg.camera, se3.apply(m.kf_q[k], m.kf_t[k], xw))
+        pr2 = camera.project(cfg.camera, se3.apply(m.kf_q[n], m.kf_t[n], xw))
+        s1 = cfg.orb.scale_factor ** m.kf_octave[k][i_idx].astype(jnp.float32)
+        s2 = cfg.orb.scale_factor ** m.kf_octave[n].astype(jnp.float32)
+        e1 = jnp.sum((pr1 - uv_k) ** 2, -1)
+        e2 = jnp.sum((pr2 - uv_n) ** 2, -1)
+        d1 = jnp.linalg.norm(xw - ck, axis=-1)
+        d2 = jnp.linalg.norm(xw - cn, axis=-1)
+        ratio = d2 / jnp.maximum(d1, 1e-9)
+        ratio_oct = s1 / s2
+        good = (pair & (z1 > 0) & (z2 > 0) & (cosp < 0.9998)
+                & (e1 < 5.991 * s1 * s1) & (e2 < 5.991 * s2 * s2)
+                & (ratio < ratio_oct * ratio_factor)
+                & (ratio * ratio_factor > ratio_oct))
+
+        # ---- predicated spawn into the point pool
+        P = m.P
+        rank_j = jnp.cumsum(good.astype(jnp.int32)) - 1
+        capacity = m.M - m.n_mps
+        spawn = good & (rank_j < max_spawn_per_neigh) & (rank_j < capacity)
+        new_id = jnp.where(spawn, m.n_mps + rank_j, -1)
+        tgt = jnp.where(spawn, new_id, m.M)
+
+        dir1 = (xw - ck) / jnp.maximum(d1[:, None], 1e-9)
+        dir2 = (xw - cn) / jnp.maximum(d2[:, None], 1e-9)
+        nrm = dir1 + dir2
+        nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1,
+                                                keepdims=True), 1e-9)
+        max_d = d1 * s1
+        min_d = max_d / (cfg.orb.scale_factor ** (cfg.orb.n_levels - 1))
+
+        def pad(pool):
+            return jnp.concatenate([pool, jnp.zeros_like(pool[:1])], axis=0)
+
+        desc_new = m.kf_desc[k][i_idx]
+        m = m._replace(
+            mp_pos=pad(m.mp_pos).at[tgt].set(xw)[:m.M],
+            mp_valid=pad(m.mp_valid).at[tgt].set(spawn)[:m.M],
+            mp_desc=pad(m.mp_desc).at[tgt].set(desc_new)[:m.M],
+            mp_normal=pad(m.mp_normal).at[tgt].set(nrm)[:m.M],
+            mp_min_dist=pad(m.mp_min_dist).at[tgt].set(0.8 * min_d)[:m.M],
+            mp_max_dist=pad(m.mp_max_dist).at[tgt].set(1.2 * max_d)[:m.M],
+            mp_first_kf=pad(m.mp_first_kf).at[tgt].set(
+                jnp.full((P,), 1, jnp.int32) * k)[:m.M],
+            mp_dir_sum=pad(m.mp_dir_sum).at[tgt].set(dir1 + dir2)[:m.M],
+            mp_obs_cnt=pad(m.mp_obs_cnt).at[tgt].set(
+                jnp.full((P,), 2, jnp.int32))[:m.M],
+            # observations in BOTH keyframes (scatter by keypoint index)
+            kf_mp=m.kf_mp
+            .at[k, jnp.where(spawn, i_idx, P)].set(
+                jnp.where(spawn, new_id, -1), mode="drop")
+            .at[n, jnp.where(spawn, jnp.arange(P), P)].set(
+                jnp.where(spawn, new_id, -1), mode="drop"),
+            n_mps=m.n_mps + jnp.sum(spawn.astype(jnp.int32)),
+        )
+        total = total + jnp.sum(spawn.astype(jnp.int32))
+    return m, total
+
 
 class LocalMapper:
-    def __init__(self, cfg: SlamConfig, window: int = 20):
+    def __init__(self, cfg: SlamConfig, window: int = 20,
+                 triangulate_new_points: bool = True):
         self.cfg = cfg
         self.window = window
 
         @jax.jit
         def _mapping_step(m: map_state.MapState):
             K, P, M = m.K, m.P, m.M
+            # new landmarks by triangulation against covisible keyframes
+            # (CreateNewMapPoints, LocalMapping.cc:239-500) — the only
+            # spawning path for monocular, far-point densifier otherwise
+            if triangulate_new_points:
+                m, _ = create_new_map_points(m, cfg)
             n = m.n_kfs
             rows = jnp.arange(K)
             in_window = (rows >= n - window) & (rows < n) & m.kf_valid
@@ -60,10 +199,14 @@ class LocalMapper:
             kf_mp = jnp.where(had_edge & ~inl2d, -1, m.kf_mp)
             m = m._replace(kf_q=q, kf_t=t, mp_pos=pos, kf_mp=kf_mp)
 
-            # map-point culling: old points with too few surviving observations
+            # map-point culling: old points with too few surviving
+            # observations; the reference keeps mono points at >= 2
+            # observations, stereo/RGB-D at >= 3 (LocalMapping.cc:209)
+            cull_th = (2 if cfg.sensor == SENSOR_MONOCULAR
+                       else cfg.map.min_obs_cull)
             cnt = map_state.observation_count(m)
             age = n - m.mp_first_kf     # in keyframes
-            cull = m.mp_valid & (age >= 3) & (cnt < cfg.map.min_obs_cull)
+            cull = m.mp_valid & (age >= 3) & (cnt < cull_th)
             m = m._replace(mp_valid=m.mp_valid & ~cull)
             kf_mp2 = jnp.where(
                 (m.kf_mp >= 0) & cull[jnp.clip(m.kf_mp, 0)], -1, m.kf_mp)

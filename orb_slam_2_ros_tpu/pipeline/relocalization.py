@@ -1,0 +1,98 @@
+"""Relocalization: re-acquire the camera pose after tracking loss.
+
+Replaces ``Tracking::Relocalization`` (SURVEY.md §2.2,
+``Tracking.cc:1535-1724``): the reference queries the keyframe database for
+relocalization candidates, BoW-matches the lost frame against each, runs
+EPnP RANSAC, refines with pose optimization, widens matches by projection
+when inliers are short, and accepts at >= 50 inliers.
+
+Here the same ladder runs as one jitted program against the best-scoring
+candidate (the top candidate wins in practice; the reference's
+multi-candidate sweep is a vmap-widening away and noted as future work):
+BoW-gated matching -> vmapped EPnP RANSAC -> pose LM -> projection-guided
+match widening -> pose LM -> accept gate.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam_2_ros_tpu.config import SlamConfig
+from orb_slam_2_ros_tpu.frontend import matcher
+from orb_slam_2_ros_tpu.frontend.frame import Frame
+from orb_slam_2_ros_tpu.map import state as map_state
+from orb_slam_2_ros_tpu.place import database, vocabulary
+from orb_slam_2_ros_tpu.solvers import pnp
+from orb_slam_2_ros_tpu.solvers.pose_opt import pose_optimization
+
+MIN_BOW_MATCHES = 15     # per-candidate gate (Tracking.cc:1586)
+MIN_INLIERS_ACCEPT = 50  # final accept (Tracking.cc:1713)
+
+
+class Relocalizer:
+    def __init__(self, cfg: SlamConfig, vocab: vocabulary.Vocabulary):
+        self.cfg = cfg
+        self.vocab = vocab
+
+        @jax.jit
+        def _relocalize(m: map_state.MapState, db: database.BowDatabase,
+                        kf_node: jnp.ndarray, frame: Frame, key: jax.Array):
+            P = frame.uv.shape[0]
+
+            # ---- frame BoW + best candidate keyframe
+            wid, nid, tfidf = vocabulary.transform(vocab, frame.kps.desc,
+                                                   frame.valid)
+            wt = vocabulary.bow_weights(wid, tfidf, vocab.num_words)
+            covis = map_state.covisibility(m)
+            cand = database.detect_candidates(
+                db, wid, wt, jnp.zeros((m.K,), bool), covis,
+                vocab.num_words, min_score=None)
+            scores, _ = database.query(db, wid, wt, vocab.num_words)
+            c = jnp.argmax(jnp.where(cand, scores, -1.0))
+            has_cand = jnp.any(cand)
+
+            # ---- BoW-gated matching frame <-> candidate keyframe
+            valid_c = m.kf_kp_valid[c] & (m.kf_mp[c] >= 0) & m.kf_valid[c]
+            f_to_c = matcher.search_by_node(
+                m.kf_desc[c], kf_node[c], valid_c, m.kf_angle[c],
+                frame.kps.desc, nid, frame.valid, frame.kps.angle, cfg)[0]
+            # f_to_c: frame keypoint -> candidate keypoint index
+            kp_mp = jnp.where(f_to_c >= 0,
+                              m.kf_mp[c][jnp.clip(f_to_c, 0)], -1)
+            n_bow = jnp.sum((kp_mp >= 0).astype(jnp.int32))
+
+            # ---- EPnP RANSAC on the 3D-2D matches
+            xw = m.mp_pos[jnp.clip(kp_mp, 0)]
+            ok_pair = kp_mp >= 0
+            q0, t0, pnp_inl, _ = pnp.ransac_pnp(xw, frame.uv, ok_pair, cfg,
+                                                key)
+
+            # ---- pose LM on the RANSAC inliers
+            q1, t1, inl1, n1 = pose_optimization(
+                q0, t0, xw, frame.uv, frame.u_right, frame.kps.octave,
+                ok_pair & pnp_inl, cfg)
+            kp_mp1 = jnp.where(inl1 & ok_pair, kp_mp, -1)
+
+            # ---- projection-guided widening (SearchByProjection, :1655)
+            tv = matcher.frustum_check(q1, t1, m.mp_pos, m.mp_normal,
+                                       m.mp_min_dist, m.mp_max_dist,
+                                       m.mp_valid, cfg)
+            kp_to_mp2, _ = matcher.search_local_map(tv, m.mp_desc, frame,
+                                                    kp_mp1 >= 0, cfg)
+            kp_mp_w = jnp.where(kp_mp1 >= 0, kp_mp1, kp_to_mp2)
+            q2, t2, inl2, n2 = pose_optimization(
+                q1, t1, m.mp_pos[jnp.clip(kp_mp_w, 0)], frame.uv,
+                frame.u_right, frame.kps.octave, kp_mp_w >= 0, cfg)
+            kp_mp_out = jnp.where(inl2, kp_mp_w, -1)
+
+            ok = (has_cand & (n_bow >= MIN_BOW_MATCHES)
+                  & (n2 >= MIN_INLIERS_ACCEPT))
+            return ok, q2, t2, kp_mp_out, n2, c
+
+        self._relocalize = _relocalize
+
+    def relocalize(self, m, db, kf_node, frame, key):
+        """Returns (ok, q, t, kp_to_mp, n_inliers, candidate_kf) — device
+        values; caller fetches `ok` to decide."""
+        return self._relocalize(m, db, kf_node, frame, key)

@@ -19,24 +19,67 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from orb_slam_2_ros_tpu.config import SlamConfig
+from orb_slam_2_ros_tpu.config import SlamConfig, SENSOR_MONOCULAR
 from orb_slam_2_ros_tpu.io import trajectory as traj_io
 from orb_slam_2_ros_tpu.map import state as map_state
 from orb_slam_2_ros_tpu.pipeline.local_mapping import LocalMapper
 from orb_slam_2_ros_tpu.pipeline.tracking import (FrameRecord, Tracker,
-                                                  NOT_INITIALIZED, OK)
+                                                  LOST, NOT_INITIALIZED, OK)
+
+
+def default_vocabulary(cfg: SlamConfig):
+    """Train a small deterministic vocabulary from seeded random descriptors.
+
+    The reference ships the pre-trained ORBvoc tree (``README.md:12``); with
+    zero egress the engine self-trains a compact tree that still gates
+    matching and retrieval well (random 256-bit codes cover descriptor
+    space uniformly). Production deployments should pass a vocabulary
+    trained on in-domain descriptors (place/vocabulary.train_vocabulary or
+    load_orbvoc_binary / load_npz).
+    """
+    import numpy as np
+    from orb_slam_2_ros_tpu.place import vocabulary
+    rng = np.random.default_rng(cfg.seed)
+    train = rng.integers(0, 2 ** 32, (8192, 8), dtype=np.uint32)
+    return vocabulary.train_vocabulary(train, cfg, seed=cfg.seed)
 
 
 class System:
     def __init__(self, cfg: SlamConfig, enable_local_ba: bool = True,
-                 ba_window: int = 20, load_map: Optional[str] = None):
+                 ba_window: int = 20, load_map: Optional[str] = None,
+                 enable_loop_closing: bool = False, vocab=None):
         self.cfg = cfg
         self.tracker = Tracker(cfg)
         self.mapper = LocalMapper(cfg, window=ba_window) if enable_local_ba else None
         self.localization_only = cfg.localization_only
         self._culled_dev = []      # device scalars; summed lazily (no fetches)
+        # the LoopCloser owns the BoW index (database + node table) shared
+        # with the relocalizer; in localization-only mode its correction
+        # program is simply never invoked
+        self.loop_closing_enabled = enable_loop_closing
+        self.loop_closer = None
+        self.relocalizer = None
+        self.vocab = vocab
+        if enable_loop_closing or cfg.localization_only or load_map:
+            from orb_slam_2_ros_tpu.pipeline.loop_closing import LoopCloser
+            from orb_slam_2_ros_tpu.pipeline.relocalization import Relocalizer
+            if self.vocab is None:
+                self.vocab = default_vocabulary(cfg)
+            self.relocalizer = Relocalizer(cfg, self.vocab)
+            self.loop_closer = LoopCloser(cfg, self.vocab)
+        import jax
+        self._reloc_key = jax.random.PRNGKey(cfg.seed + 1)
+        self._last_frame_inputs = None
+        # monocular bootstrap (MonocularInitialization, Tracking.cc:633-816)
+        self.mono_init = None
+        self._mono_initialized = cfg.sensor != SENSOR_MONOCULAR
+        self._frame_counter = 0
+        if cfg.sensor == SENSOR_MONOCULAR:
+            from orb_slam_2_ros_tpu.pipeline.mono_init import MonoInitializer
+            self.mono_init = MonoInitializer(cfg)
         if load_map:
             self.load_map(load_map)
+            self._mono_initialized = True
 
     # ------------------------------------------------------------- tracking
 
@@ -44,18 +87,132 @@ class System:
                    timestamp: float) -> FrameRecord:
         return self.track_chunk(gray[None], depth[None], [timestamp])[0]
 
-    def track_chunk(self, grays, depths, timestamps,
+    def track_chunk(self, grays, depths=None, timestamps=None,
                     defer_fetch: bool = False) -> List[FrameRecord]:
-        recs = self.tracker.process_chunk(grays, depths, timestamps,
-                                          defer_fetch=defer_fetch)
-        # mapping cadence: one windowed-BA step per chunk, unconditionally —
-        # checking "was a keyframe inserted?" would need a device fetch,
-        # which permanently degrades the relay's launch latency
-        if self.mapper is not None and not self.localization_only:
-            m2, n_culled = self.mapper.run(self.tracker.carry.m)
-            self.tracker.carry = self.tracker.carry._replace(m=m2)
-            self._culled_dev.append(n_culled)
-        return recs
+        grays = np.asarray(grays, np.float32)
+        if depths is None:      # monocular: the aux channel is unused
+            depths = np.zeros_like(grays)
+        if timestamps is None:
+            timestamps = [self._frame_counter + i / 30.0
+                          for i in range(len(grays))]
+        init_recs: List[FrameRecord] = []
+        if not self._mono_initialized:
+            consumed = 0
+            for i in range(len(grays)):
+                out = self.mono_init.process(grays[i],
+                                             self._frame_counter + i)
+                consumed = i + 1
+                if out is not None:
+                    m, q1, t1, kp_mp, cur = out
+                    self._adopt_mono_init(m, q1, t1, kp_mp, cur,
+                                          consumed, init_recs, timestamps)
+                    break
+                init_recs.append(self._placeholder_record(
+                    timestamps[i], NOT_INITIALIZED, offset=len(init_recs)))
+            self.tracker.records.extend(init_recs)
+            if not self._mono_initialized:
+                self._frame_counter += len(grays)
+                return init_recs
+            grays = grays[consumed:]
+            depths = depths[consumed:]
+            timestamps = list(timestamps)[consumed:]
+            if len(grays) == 0:
+                self._frame_counter += consumed
+                return init_recs
+            self._frame_counter += consumed
+        # software pipeline over tracker-sized chunks: track -> local map ->
+        # loop closing per chunk (the per-keyframe cadence of the reference's
+        # LocalMapping/LoopClosing consumer threads, SURVEY.md §2.D)
+        recs: List[FrameRecord] = []
+        C = self.tracker.chunk
+        for w0 in range(0, len(grays), C):
+            w1 = min(w0 + C, len(grays))
+            recs += self.tracker.process_chunk(
+                grays[w0:w1], depths[w0:w1], timestamps[w0:w1],
+                defer_fetch=defer_fetch)
+            # mapping: one windowed-BA step per chunk, unconditionally —
+            # checking "was a keyframe inserted?" would need a device fetch,
+            # which permanently degrades the relay's launch latency
+            if self.mapper is not None and not self.localization_only:
+                m2, n_culled = self.mapper.run(self.tracker.carry.m)
+                self.tracker.carry = self.tracker.carry._replace(m=m2)
+                self._culled_dev.append(n_culled)
+            if self.loop_closer is not None and self.loop_closing_enabled \
+                    and not self.localization_only:
+                m2, closed = self.loop_closer.process(self.tracker.carry.m)
+                if closed:
+                    self.tracker.adopt_map(m2)
+        self._frame_counter += len(grays)
+        self._last_frame_inputs = (grays[-1], depths[-1])
+        # relocalization: when the chunk ended LOST, re-acquire against the
+        # BoW index (Tracking.cc:341-346 -> Relocalization)
+        if recs and recs[-1].state == LOST and self.relocalizer is not None:
+            self.relocalize()
+        return init_recs + recs
+
+    def _placeholder_record(self, ts, state, offset=0) -> FrameRecord:
+        return FrameRecord(
+            frame_id=len(self.tracker.records) + offset, timestamp=float(ts),
+            state=state, n_matches_frame=0, n_inliers=0, is_keyframe=False,
+            R_wc=np.eye(3, dtype=np.float32),
+            c_w=np.zeros(3, dtype=np.float32))
+
+    def _adopt_mono_init(self, m, q1, t1, kp_mp, cur, consumed, init_recs,
+                         timestamps):
+        """Install the two-keyframe monocular map and bootstrap the tracker
+        from keyframe 1's pose (CreateInitialMapMonocular tail,
+        Tracking.cc:802-816)."""
+        import jax
+        import jax.numpy as jnp
+        tr = self.tracker
+        tr.carry = tr._fresh_carry(m, initialized=True)
+        tr.force_pose(q1, t1, kp_mp, cur.kps.octave, cur.kps.angle)
+        tr.carry = tr.carry._replace(
+            frame_id=jnp.int32(consumed),
+            # seed the keyframe-decision reference count (Tracking.cc:1160:
+            # nRefMatches of the reference keyframe)
+            ref_tracked=jnp.sum((kp_mp >= 0).astype(jnp.int32)))
+        self._mono_initialized = True
+        # records for frames consumed by init that are not yet recorded
+        for i in range(len(init_recs), consumed):
+            init_recs.append(self._placeholder_record(
+                timestamps[i], NOT_INITIALIZED, offset=len(init_recs)))
+        if init_recs:
+            init_recs[-1] = self._placeholder_record(
+                timestamps[consumed - 1], OK, offset=len(init_recs) - 1)
+
+    def relocalize(self) -> bool:
+        """Attempt relocalization with the most recent frame
+        (``Tracking::Relocalization``). Returns success."""
+        if self._last_frame_inputs is None or self.loop_closer is None:
+            return False
+        import jax
+        import jax.numpy as jnp
+        from orb_slam_2_ros_tpu.frontend import frame as frame_mod
+        # the index may lag the map: ingest any missing keyframes first
+        m = self.tracker.carry.m
+        lc = self.loop_closer
+        for _ in range(m.K):
+            if int(jax.device_get(lc.state.n_ingested)) >= \
+                    int(jax.device_get(m.n_kfs)):
+                break
+            lc.state, _, _ = lc._ingest_and_detect(m, lc.state)
+        gray, depth = self._last_frame_inputs
+        if self.cfg.sensor == SENSOR_MONOCULAR:
+            frame = frame_mod.build_mono(jnp.asarray(gray, jnp.float32),
+                                         self.cfg)
+        else:
+            frame = frame_mod.build_rgbd(jnp.asarray(gray, jnp.float32),
+                                         jnp.asarray(depth, jnp.float32),
+                                         self.cfg)
+        self._reloc_key, sub = jax.random.split(self._reloc_key)
+        ok, q, t, kp_mp, n_inl, c = self.relocalizer.relocalize(
+            m, lc.state.db, lc.state.kf_node, frame, sub)
+        if bool(jax.device_get(ok)):
+            self.tracker.force_pose(q, t, kp_mp, frame.kps.octave,
+                                    frame.kps.angle)
+            return True
+        return False
 
     def flush(self) -> List[FrameRecord]:
         return self.tracker.flush()

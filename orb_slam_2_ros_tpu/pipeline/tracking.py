@@ -33,7 +33,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from orb_slam_2_ros_tpu.config import SlamConfig, SENSOR_MONOCULAR
+from orb_slam_2_ros_tpu.config import (SlamConfig, SENSOR_MONOCULAR,
+                                       SENSOR_STEREO)
 from orb_slam_2_ros_tpu.frontend import frame as frame_mod
 from orb_slam_2_ros_tpu.frontend import matcher
 from orb_slam_2_ros_tpu.geometry import se3
@@ -86,14 +87,20 @@ def _quat_to_R(qw, qx, qy, qz):
 
 
 class Tracker:
-    """RGB-D / stereo-depth tracking pipeline (monocular init lands with the
-    Initializer milestone)."""
+    """Per-frame tracking pipeline for all three sensors. Stereo/RGB-D
+    initialization is predicated dataflow inside the scan; monocular
+    initialization happens at the System level (pipeline/mono_init.py)
+    before scan tracking starts, mirroring the reference's split
+    (``MonocularInitialization``, ``Tracking.cc:633-816``)."""
 
     CHUNK = 16   # fixed scan length: every chunk call hits the same program
 
     def __init__(self, cfg: SlamConfig):
-        assert cfg.sensor != SENSOR_MONOCULAR, "mono init not wired yet"
         self.cfg = cfg
+        # mono spawns landmarks only via between-keyframe triangulation,
+        # which runs at chunk boundaries — a finer chunk keeps the map
+        # growing fast enough for its quicker point turnover
+        self.chunk = 8 if cfg.sensor == SENSOR_MONOCULAR else self.CHUNK
         self.state = NO_IMAGES_YET
         self.records: List[FrameRecord] = []
         self._pending = []          # [(timestamps, device outs)]
@@ -136,9 +143,17 @@ class Tracker:
             return q2, t2, kp_mp, n1, n2, n_close_tr, n_close_free
 
         def _frame_step(carry: TrackCarry, inputs):
-            gray, depth, active = inputs
+            gray, aux, active = inputs
             m = carry.m
-            frame = frame_mod.build_rgbd(gray, depth, cfg)
+            # static sensor branch: for stereo `aux` is the right image
+            # (Frame.cc:62-118), for RGB-D the metric depth map (:679-701),
+            # for mono it is ignored
+            if cfg.sensor == SENSOR_STEREO:
+                frame = frame_mod.build_stereo(gray, aux, cfg)
+            elif cfg.sensor == SENSOR_MONOCULAR:
+                frame = frame_mod.build_mono(gray, cfg)
+            else:
+                frame = frame_mod.build_rgbd(gray, aux, cfg)
 
             # ---------- tracking attempt (garbage but harmless pre-init)
             q_pred, t_pred = se3.compose(carry.vel_q, carry.vel_t,
@@ -149,10 +164,13 @@ class Tracker:
             good = ((n2 >= tc.min_inliers_local_map) & active
                     & carry.initialized)
 
-            # ---------- stereo/RGB-D initialization (predicated)
+            # ---------- stereo/RGB-D initialization (predicated); mono
+            # initializes at the System level (two-view reconstruction)
             n_depth = jnp.sum((frame.valid & (frame.depth > 0)).astype(jnp.int32))
             can_init = ((~carry.initialized) & active
                         & (n_depth >= tc.min_init_stereo_kps))
+            if cfg.sensor == SENSOR_MONOCULAR:
+                can_init = jnp.array(False)
             q_init = se3.quat_exp(jnp.array([cfg.initial_pitch, 0.0, 0.0]))
             t_init = jnp.zeros(3)
 
@@ -258,7 +276,7 @@ class Tracker:
         grays = np.asarray(grays, np.float32)
         depths = np.asarray(depths, np.float32)
         n = grays.shape[0]
-        C = self.CHUNK
+        C = self.chunk
         for w0 in range(0, n, C):
             w1 = min(w0 + C, n)
             k = w1 - w0
@@ -306,8 +324,23 @@ class Tracker:
     def attach_map(self, m: map_state.MapState):
         """Adopt a loaded map and start tracking against it from the origin
         (``System::LoadMap`` semantics: the tracker re-acquires by local-map
-        search; dedicated relocalization lands with the place milestone)."""
+        search or explicit relocalization)."""
         self.carry = self._fresh_carry(m, initialized=True)
+        self.state = OK
+
+    def adopt_map(self, m: map_state.MapState):
+        """Swap in an externally updated map (local BA / loop correction),
+        keeping the tracking context."""
+        self.carry = self.carry._replace(m=m)
+
+    def force_pose(self, q, t, kp_mp, octave, angle):
+        """Adopt a relocalized pose + associations (``Tracking.cc:1714-1719``:
+        after successful relocalization the tracker resumes from the new
+        pose with a cleared motion model)."""
+        self.carry = self.carry._replace(
+            q=q, t=t, vel_q=jnp.array([1.0, 0, 0, 0]), vel_t=jnp.zeros(3),
+            last_mp=kp_mp, last_oct=octave, last_angle=angle,
+            initialized=jnp.array(True))
         self.state = OK
 
     # ------------------------------------------------------------ trajectory

@@ -70,3 +70,34 @@ def test_localization_against_loaded_map(run_result, tmp_path):
                    for r in ok_frames])
     err = np.linalg.norm(est - gt, axis=1)
     assert np.median(err) < 0.05, err
+
+
+def test_relocalization_after_loss(run_result, tmp_path):
+    """Start localization mid-sequence: the tracker is LOST at the map
+    origin, must relocalize via the BoW index + EPnP, then track
+    (Tracking.cc:1535-1724 + SURVEY.md §4 'relocalization works after
+    artificial tracking loss')."""
+    cfg, ds, sys_, recs = run_result
+    p = str(tmp_path / "map.npz")
+    sys_.save_map(p)
+    cfg_loc = cfg.replace(localization_only=True)
+    sys2 = System(cfg_loc, enable_local_ba=False, load_map=p)
+    # feed frames from the middle of the run: far from the start pose
+    # (the fixture sequence has 24 frames; use [8, 24))
+    start = 8
+    grays = np.stack([ds[i][0] for i in range(start, start + 8)])
+    depths = np.stack([ds[i][1] for i in range(start, start + 8)])
+    recs2 = sys2.track_chunk(grays, depths, ds.timestamps[start:start + 8])
+    # first chunk gets lost then relocalizes; feed one more chunk and it
+    # must track OK at the right place
+    grays2 = np.stack([ds[i][0] for i in range(start + 8, start + 16)])
+    depths2 = np.stack([ds[i][1] for i in range(start + 8, start + 16)])
+    recs3 = sys2.track_chunk(grays2, depths2,
+                             ds.timestamps[start + 8:start + 16])
+    ok_frames = [r for r in recs3 if r.state == OK]
+    assert len(ok_frames) >= 6, [r.state for r in recs2 + recs3]
+    R0, c0 = ds.gt_pose_wc(0)
+    for r in ok_frames[-4:]:
+        gt_c = R0.T @ (ds.gt_pose_wc(start + 8 + r.frame_id
+                                     - recs3[0].frame_id)[1] - c0)
+        assert np.linalg.norm(r.c_w - gt_c) < 0.08
