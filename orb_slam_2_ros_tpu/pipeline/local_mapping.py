@@ -162,6 +162,115 @@ def create_new_map_points(m: map_state.MapState, cfg: SlamConfig,
     return m, total
 
 
+def fuse_duplicates(m: map_state.MapState, cfg: SlamConfig,
+                    n_neigh: int = N_TRI_NEIGH):
+    """Merge duplicate landmarks between the newest keyframe and its best
+    covisible neighbors (``LocalMapping::SearchInNeighbors`` +
+    ``ORBmatcher::Fuse``, ``LocalMapping.cc:502-582``,
+    ``ORBmatcher.cc:827-977``): project each keyframe's points into the
+    other, match by window + descriptor, and where a keypoint already
+    references a different landmark, keep the one with more observations
+    (``MapPoint::Replace`` semantics, ``MapPoint.cc:213-259``) via a
+    replacement table applied to the whole observation table; free matched
+    keypoints gain the observation instead.
+
+    Returns (m, n_fused)."""
+    k = jnp.maximum(m.n_kfs - 1, 0)
+    covis = map_state.covisibility(m)
+    w_top, idx_top = jax.lax.top_k(covis[k], n_neigh)
+    obs_cnt = map_state.observation_count(m)
+
+    # landmark replacement map with an overflow slot at index M for
+    # predicated (no-conflict) writes
+    repl = jnp.arange(m.M + 1, dtype=jnp.int32)
+
+    def kf_as_frame(row):
+        """View keyframe `row`'s feature arrays as a Frame for the matcher."""
+        from orb_slam_2_ros_tpu.frontend.extractor import Keypoints
+        from orb_slam_2_ros_tpu.frontend.frame import Frame
+        kps = Keypoints(
+            xy=m.kf_uv[row], response=jnp.zeros((m.P,)),
+            angle=m.kf_angle[row], octave=m.kf_octave[row],
+            desc=m.kf_desc[row],
+            valid=m.kf_kp_valid[row] & m.kf_valid[row])
+        return Frame(kps=kps, uv=m.kf_uv[row], u_right=m.kf_ur[row],
+                     depth=m.kf_depth[row])
+
+    for rank in range(n_neigh):
+        n = idx_top[rank]
+        pair_ok = (w_top[rank] >= cfg.map.covis_th) & (n != k)
+        for src, dst in ((k, n), (n, k)):
+            # project src's landmarks into dst and match
+            src_mp = m.kf_mp[src]
+            has_src = (src_mp >= 0) & pair_ok
+            frame = kf_as_frame(dst)
+            kp_to_i, _ = matcher.search_by_projection_pose(
+                m.mp_pos[jnp.clip(src_mp, 0)],
+                m.mp_desc[jnp.clip(src_mp, 0)],
+                m.kf_octave[src], has_src & m.mp_valid[jnp.clip(src_mp, 0)],
+                m.kf_q[dst], m.kf_t[dst], frame, cfg, th=3.0,
+                check_rotation=False)
+            # kp j of dst matched to src keypoint i -> landmark src_mp[i]
+            cand = jnp.where(kp_to_i >= 0,
+                             src_mp[jnp.clip(kp_to_i, 0)], -1)
+            dst_mp = m.kf_mp[dst]
+            # case 1: dst keypoint free -> gain the observation
+            gain = (cand >= 0) & (dst_mp < 0)
+            m = m._replace(kf_mp=m.kf_mp.at[dst].set(
+                jnp.where(gain, cand, dst_mp)))
+            # case 2: conflict -> replace the weaker landmark everywhere
+            conflict = (cand >= 0) & (dst_mp >= 0) & (cand != dst_mp)
+            a = jnp.clip(cand, 0)
+            b = jnp.clip(dst_mp, 0)
+            # winner: more observations, ties broken toward the lower id so
+            # both sweep directions agree (no replacement 2-cycles)
+            keep_a = (obs_cnt[a] > obs_cnt[b]) | (
+                (obs_cnt[a] == obs_cnt[b]) & (a < b))
+            loser = jnp.where(keep_a, b, a)
+            winner = jnp.where(keep_a, a, b)
+            repl = repl.at[jnp.where(conflict, loser, m.M)].set(
+                jnp.where(conflict, winner, m.M))
+
+    # squash two-level replacement chains, then apply across the
+    # observation table; invalidate losers
+    repl = repl.at[m.M].set(m.M)
+    repl = repl[repl]
+    repl = repl[:m.M]
+    replaced = repl != jnp.arange(m.M)
+    n_fused = jnp.sum(replaced.astype(jnp.int32))
+    kf_mp = jnp.where(m.kf_mp >= 0, repl[jnp.clip(m.kf_mp, 0)], -1)
+    m = m._replace(kf_mp=kf_mp, mp_valid=m.mp_valid & ~replaced)
+    return m, n_fused
+
+
+def cull_keyframes(m: map_state.MapState, cfg: SlamConfig, window: int = 20):
+    """Remove redundant keyframes: >= 90% of a keyframe's landmarks observed
+    by >= 3 other keyframes (``LocalMapping::KeyFrameCulling``,
+    ``LocalMapping.cc:686-767``; the reference's same-or-finer-scale
+    condition is approximated by raw observation counts — documented).
+
+    Only keyframes inside the recent window (the reference culls covisible
+    keyframes of the current one) excluding the newest and keyframe 0.
+    Returns (m, n_culled)."""
+    K = m.K
+    rows = jnp.arange(K)
+    n = m.n_kfs
+    obs_cnt = map_state.observation_count(m)
+    has_mp = (m.kf_mp >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+    redundant_obs = has_mp & (obs_cnt[jnp.clip(m.kf_mp, 0)] >= 4)
+    n_obs = jnp.sum(has_mp.astype(jnp.int32), axis=1)
+    n_red = jnp.sum(redundant_obs.astype(jnp.int32), axis=1)
+    in_window = (rows >= n - window) & (rows < n - 1) & (rows > 0)
+    cull = (m.kf_valid & in_window & (n_obs > 20)
+            & (n_red.astype(jnp.float32)
+               >= cfg.map.kf_cull_redundancy * n_obs.astype(jnp.float32)))
+    m = m._replace(
+        kf_valid=m.kf_valid & ~cull,
+        kf_mp=jnp.where(cull[:, None], -1, m.kf_mp),
+        kf_kp_valid=m.kf_kp_valid & ~cull[:, None])
+    return m, jnp.sum(cull.astype(jnp.int32))
+
+
 class LocalMapper:
     def __init__(self, cfg: SlamConfig, window: int = 20,
                  triangulate_new_points: bool = True):
@@ -176,6 +285,9 @@ class LocalMapper:
             # spawning path for monocular, far-point densifier otherwise
             if triangulate_new_points:
                 m, _ = create_new_map_points(m, cfg)
+            # duplicate-landmark fusion in the neighborhood
+            # (SearchInNeighbors, LocalMapping.cc:502-582)
+            m, _ = fuse_duplicates(m, cfg)
             n = m.n_kfs
             rows = jnp.arange(K)
             in_window = (rows >= n - window) & (rows < n) & m.kf_valid
@@ -211,6 +323,10 @@ class LocalMapper:
             kf_mp2 = jnp.where(
                 (m.kf_mp >= 0) & cull[jnp.clip(m.kf_mp, 0)], -1, m.kf_mp)
             m = m._replace(kf_mp=kf_mp2)
+
+            # redundant-keyframe culling (KeyFrameCulling,
+            # LocalMapping.cc:686-767)
+            m, _ = cull_keyframes(m, cfg, window=window)
 
             m = map_state.refresh_point_stats(m, cfg)
             return m, jnp.sum(cull.astype(jnp.int32))

@@ -287,6 +287,35 @@ class System:
     def records(self):
         return self.tracker.records
 
+    def render_debug_image(self) -> Optional[np.ndarray]:
+        """Annotated tracking image from the current state (the
+        ``FrameDrawer`` + ``PublishRenderedImage`` path,
+        ``ros/src/Node.cc:200-206``). Requires at least one tracked chunk."""
+        if self._last_frame_inputs is None:
+            return None
+        from orb_slam_2_ros_tpu.frontend import frame as frame_mod
+        from orb_slam_2_ros_tpu.pipeline import frame_drawer
+        gray, depth = self._last_frame_inputs
+        if self.cfg.sensor == SENSOR_MONOCULAR:
+            frame = frame_mod.build_mono(jnp.asarray(gray, jnp.float32),
+                                         self.cfg)
+        else:
+            frame = frame_mod.build_rgbd(jnp.asarray(gray, jnp.float32),
+                                         jnp.asarray(depth, jnp.float32),
+                                         self.cfg)
+        carry = self.tracker.carry
+        kp_has_map = np.asarray(jax.device_get(carry.last_mp)) >= 0
+        rec = self.records[-1] if self.records else None
+        m = self.tracker.map
+        return frame_drawer.draw_frame(
+            gray, np.asarray(jax.device_get(frame.kps.xy)),
+            np.asarray(jax.device_get(frame.valid)), kp_has_map,
+            state=self.tracker.state,
+            n_matches=rec.n_inliers if rec else 0,
+            n_kfs=int(jax.device_get(m.n_kfs)),
+            n_mps=int(np.asarray(jax.device_get(m.mp_valid)).sum()),
+            localization_only=self.localization_only)
+
     def map_points(self) -> np.ndarray:
         """(N, 3) valid map-point positions (the PointCloud2 analog,
         ``ros/src/Node.cc:244-289``)."""

@@ -1,0 +1,96 @@
+"""Duplicate-landmark fusion + redundant-keyframe culling tests
+(``SearchInNeighbors`` ``LocalMapping.cc:502-582``; ``KeyFrameCulling``
+``:686-767``)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from orb_slam_2_ros_tpu.config import MapConfig, OrbConfig, SlamConfig
+from orb_slam_2_ros_tpu.map import state as map_state
+from orb_slam_2_ros_tpu.pipeline.local_mapping import (cull_keyframes,
+                                                       fuse_duplicates)
+
+from test_triangulation_mapping import build_two_kf_map, small_cfg
+
+
+def test_fuse_merges_duplicates():
+    """Duplicate the shared landmarks: keyframe 1 references copies of
+    keyframe 0's points at slightly perturbed positions; fusion must merge
+    them back to single landmarks."""
+    cfg = small_cfg()
+    m, pts_new, n_shared, n_new = build_two_kf_map(cfg, noise=0.1)
+    rng = np.random.default_rng(0)
+
+    # give KF1 duplicate copies of the shared landmarks
+    mp_pos = np.asarray(m.mp_pos).copy()
+    mp_valid = np.asarray(m.mp_valid).copy()
+    mp_desc = np.asarray(m.mp_desc).copy()
+    kf_mp = np.asarray(m.kf_mp).copy()
+    n0 = n_shared
+    for i in range(n_shared):
+        dup = n0 + i
+        mp_pos[dup] = mp_pos[i] + rng.normal(0, 0.01, 3)
+        mp_valid[dup] = True
+        mp_desc[dup] = mp_desc[i]
+        kf_mp[1, i] = dup
+    # re-share two thirds of the slots so covisibility stays >= covis_th
+    # (15) while one third remain duplicates for fusion to merge
+    for i in range(n_shared):
+        if i % 3 != 0:
+            kf_mp[1, i] = i
+    m = m._replace(mp_pos=jnp.asarray(mp_pos), mp_valid=jnp.asarray(mp_valid),
+                   mp_desc=jnp.asarray(mp_desc), kf_mp=jnp.asarray(kf_mp),
+                   n_mps=jnp.int32(2 * n_shared))
+    m = map_state.refresh_point_stats(m, cfg)
+
+    n_dups_before = int((np.asarray(m.kf_mp[1, :n_shared]) >= n_shared).sum())
+    assert n_dups_before > 0
+    m2, n_fused = fuse_duplicates(m, cfg)
+    assert int(n_fused) > 0.5 * n_dups_before, int(n_fused)
+    # every fused duplicate now references a single landmark id in both KFs
+    kf_mp2 = np.asarray(m2.kf_mp)
+    merged = (kf_mp2[0, :n_shared] == kf_mp2[1, :n_shared])
+    assert merged.sum() >= n_shared - n_dups_before + int(n_fused) - 2
+    # losers invalidated
+    assert int(np.asarray(m2.mp_valid).sum()) < int(np.asarray(m.mp_valid).sum())
+
+
+def test_cull_redundant_keyframe():
+    cfg = SlamConfig(orb=OrbConfig(n_features=64, max_kps=64),
+                     map=MapConfig(max_kfs=8, max_mps=512, max_kps=64))
+    K, P, M = 8, 64, 512
+    m = map_state.empty(cfg)
+    # 5 keyframes all observing the SAME 40 landmarks -> middle ones are
+    # redundant; newest (4) and first (0) are protected
+    kf_mp = np.full((K, P), -1, np.int32)
+    kf_mp[:5, :40] = np.arange(40)
+    m = m._replace(
+        kf_valid=jnp.asarray(np.arange(K) < 5),
+        kf_kp_valid=jnp.asarray(np.tile((np.arange(P) < 40)[None], (K, 1))),
+        kf_mp=jnp.asarray(kf_mp),
+        mp_valid=jnp.asarray(np.arange(M) < 40),
+        n_kfs=jnp.int32(5), n_mps=jnp.int32(40))
+    m2, n_culled = cull_keyframes(m, cfg)
+    culled = ~np.asarray(m2.kf_valid) & np.asarray(m.kf_valid)
+    assert int(n_culled) == 3, int(n_culled)
+    assert not culled[0] and not culled[4]      # protected
+    assert culled[1] and culled[2] and culled[3]
+
+
+def test_cull_keeps_unique_keyframes():
+    cfg = SlamConfig(orb=OrbConfig(n_features=64, max_kps=64),
+                     map=MapConfig(max_kfs=8, max_mps=512, max_kps=64))
+    K, P, M = 8, 64, 512
+    m = map_state.empty(cfg)
+    # each keyframe sees its own private 40 landmarks -> nothing redundant
+    kf_mp = np.full((K, P), -1, np.int32)
+    for i in range(5):
+        kf_mp[i, :40] = np.arange(40) + i * 40
+    m = m._replace(
+        kf_valid=jnp.asarray(np.arange(K) < 5),
+        kf_kp_valid=jnp.asarray(np.tile((np.arange(P) < 40)[None], (K, 1))),
+        kf_mp=jnp.asarray(kf_mp),
+        mp_valid=jnp.asarray(np.arange(M) < 200),
+        n_kfs=jnp.int32(5), n_mps=jnp.int32(200))
+    m2, n_culled = cull_keyframes(m, cfg)
+    assert int(n_culled) == 0

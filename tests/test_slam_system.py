@@ -101,3 +101,14 @@ def test_relocalization_after_loss(run_result, tmp_path):
         gt_c = R0.T @ (ds.gt_pose_wc(start + 8 + r.frame_id
                                      - recs3[0].frame_id)[1] - c0)
         assert np.linalg.norm(r.c_w - gt_c) < 0.08
+
+
+def test_render_debug_image(run_result):
+    cfg, ds, sys_, recs = run_result
+    img = sys_.render_debug_image()
+    assert img is not None
+    H, W = cfg.camera.height, cfg.camera.width
+    assert img.shape == (H + 20, W, 3) and img.dtype == np.uint8
+    # green keypoint overlays present
+    green = (img[:H, :, 1] > 200) & (img[:H, :, 0] < 100)
+    assert green.sum() > 50
