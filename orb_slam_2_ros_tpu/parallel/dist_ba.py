@@ -1,0 +1,65 @@
+"""Distributed bundle adjustment over a device mesh.
+
+The TPU-native replacement for the reference's (non-existent) multi-node
+story (SURVEY.md §2.D, §5.8): BA edges are sharded over the ``mp`` mesh
+axis with ``shard_map``; camera/point states stay replicated; every
+edge-indexed reduction inside the Schur-LM solver psums over ICI
+(solvers/ba.py ``axis_name``). Results are bit-identical to the
+single-device solve (same reduction tree up to float addition order), which
+the test suite asserts on the virtual CPU mesh (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from orb_slam_2_ros_tpu.config import SlamConfig
+from orb_slam_2_ros_tpu.solvers import ba
+
+
+def pad_problem(prob: ba.BAProblem, n_shards: int) -> ba.BAProblem:
+    """Pad the edge axis to a multiple of the shard count (padding edges
+    are invalid and contribute zeros)."""
+    E = prob.cam_idx.shape[0]
+    pad = (-E) % n_shards
+    if pad == 0:
+        return prob
+    return ba.BAProblem(
+        cam_idx=jnp.pad(prob.cam_idx, (0, pad)),
+        mp_idx=jnp.pad(prob.mp_idx, (0, pad)),
+        obs=jnp.pad(prob.obs, ((0, pad), (0, 0))),
+        is_stereo=jnp.pad(prob.is_stereo, (0, pad)),
+        inv_sigma2=jnp.pad(prob.inv_sigma2, (0, pad)),
+        valid=jnp.pad(prob.valid, (0, pad)))
+
+
+def distributed_bundle_adjustment(mesh, q, t, cam_free, pos, mp_free,
+                                  prob: ba.BAProblem, cfg: SlamConfig,
+                                  phases=(5, 10), cg_iters: int = 20):
+    """Edge-parallel Schur-LM BA: one program, N shards, psum reductions.
+
+    mesh: a jax.sharding.Mesh with an axis named by cfg.mesh.mp_axis.
+    Returns (q, t, pos, edge_inlier) with the edge mask in the PADDED
+    layout (use prob.valid to re-trim).
+    """
+    axis = cfg.mesh.mp_axis
+    n_shards = mesh.shape[axis]
+    prob = pad_problem(prob, n_shards)
+
+    rep = P()
+    edge = P(axis)
+    in_specs = (rep, rep, rep, rep, rep,
+                ba.BAProblem(cam_idx=edge, mp_idx=edge, obs=edge,
+                             is_stereo=edge, inv_sigma2=edge, valid=edge))
+    out_specs = (rep, rep, rep, edge)
+
+    def step(q, t, cam_free, pos, mp_free, prob):
+        return ba.bundle_adjustment(q, t, cam_free, pos, mp_free, prob,
+                                    cfg, phases=phases, cg_iters=cg_iters,
+                                    axis_name=axis)
+
+    fn = jax.shard_map(step, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    return fn(q, t, cam_free, pos, mp_free, prob)

@@ -150,12 +150,20 @@ def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
 
 
 def bundle_adjustment(q, t, cam_free, pos, mp_free, prob: BAProblem,
-                      cfg: SlamConfig, phases=(5, 10), cg_iters: int = 20):
+                      cfg: SlamConfig, phases=(5, 10), cg_iters: int = 20,
+                      axis_name: str = None):
     """Run Schur-LM bundle adjustment.
 
     q (C, 4), t (C, 3): world->camera poses; cam_free (C,) bool (False =
     gauge-fixed); pos (M, 3) points; mp_free (M,) bool. phases: LM iteration
     counts with chi2-based edge pruning between phases (reference 5+10).
+
+    With ``axis_name`` set, the function runs inside a ``shard_map`` whose
+    edge arrays (``prob``) are sharded over that mesh axis while states are
+    replicated: every edge-indexed reduction (gradients, block diagonals,
+    Schur matvecs, robust error) gets a ``psum`` — the distributed-BA
+    pattern of SURVEY.md §2.D (local Schur elimination + ICI-collective
+    camera system). The math is bit-identical to the single-device path.
 
     Returns (q, t, pos, edge_inlier (E,) bool).
     """
@@ -163,6 +171,9 @@ def bundle_adjustment(q, t, cam_free, pos, mp_free, prob: BAProblem,
     M = pos.shape[0]
     sc = cfg.solver
     delta2 = jnp.where(prob.is_stereo, sc.huber_stereo2, sc.huber_mono2)
+
+    def _allsum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
 
     camf = cam_free.astype(jnp.float32)[:, None]            # (C, 1)
     mpf = mp_free.astype(jnp.float32)[:, None]              # (M, 1)
@@ -174,14 +185,16 @@ def bundle_adjustment(q, t, cam_free, pos, mp_free, prob: BAProblem,
         ci, pi = prob.cam_idx, prob.mp_idx
         # gradients (free-masked)
         We = W * e
-        gc = jnp.zeros((C, 6)).at[ci].add(jnp.einsum("eik,ei->ek", Jc, We)) * camf
-        gp = jnp.zeros((M, 3)).at[pi].add(jnp.einsum("eik,ei->ek", Jp, We)) * mpf
+        gc = _allsum(jnp.zeros((C, 6)).at[ci].add(
+            jnp.einsum("eik,ei->ek", Jc, We))) * camf
+        gp = _allsum(jnp.zeros((M, 3)).at[pi].add(
+            jnp.einsum("eik,ei->ek", Jp, We))) * mpf
 
         # block diagonals
-        Hcc_d = jnp.zeros((C, 6, 6)).at[ci].add(
-            jnp.einsum("eci,ec,ecj->eij", Jc, W, Jc))        # (C, 6, 6)
-        Hpp = jnp.zeros((M, 3, 3)).at[pi].add(
-            jnp.einsum("eci,ec,ecj->eij", Jp, W, Jp))        # (M, 3, 3)
+        Hcc_d = _allsum(jnp.zeros((C, 6, 6)).at[ci].add(
+            jnp.einsum("eci,ec,ecj->eij", Jc, W, Jc)))       # (C, 6, 6)
+        Hpp = _allsum(jnp.zeros((M, 3, 3)).at[pi].add(
+            jnp.einsum("eci,ec,ecj->eij", Jp, W, Jp)))       # (M, 3, 3)
 
         # LM damping on the diagonals
         dampC = lam * jnp.einsum("cii->ci", Hcc_d) + 1e-8    # (C, 6)
@@ -195,18 +208,18 @@ def bundle_adjustment(q, t, cam_free, pos, mp_free, prob: BAProblem,
 
         def Hpc_mv(xc):
             jx = jnp.einsum("eik,ek->ei", Jc, (xc * camf)[ci])
-            return jnp.zeros((M, 3)).at[pi].add(
-                jnp.einsum("eik,ei->ek", Jp, W * jx))
+            return _allsum(jnp.zeros((M, 3)).at[pi].add(
+                jnp.einsum("eik,ei->ek", Jp, W * jx)))
 
         def Hcp_mv(xp):
             jx = jnp.einsum("eik,ek->ei", Jp, (xp * mpf)[pi])
-            return jnp.zeros((C, 6)).at[ci].add(
-                jnp.einsum("eik,ei->ek", Jc, W * jx)) * camf
+            return _allsum(jnp.zeros((C, 6)).at[ci].add(
+                jnp.einsum("eik,ei->ek", Jc, W * jx))) * camf
 
         def Hcc_mv(xc):
             jx = jnp.einsum("eik,ek->ei", Jc, (xc * camf)[ci])
-            y = jnp.zeros((C, 6)).at[ci].add(
-                jnp.einsum("eik,ei->ek", Jc, W * jx))
+            y = _allsum(jnp.zeros((C, 6)).at[ci].add(
+                jnp.einsum("eik,ei->ek", Jc, W * jx)))
             return y * camf + dampC * xc * camf
 
         def S_mv(xc):
@@ -259,6 +272,7 @@ def bundle_adjustment(q, t, cam_free, pos, mp_free, prob: BAProblem,
 
         e2, _, _, z2 = _edge_terms(prob, q_new, t_new, pos_new, cfg)
         _, err_new = _weights(prob, e2, z2, edge_mask, cfg, use_kernel)
+        err_new = _allsum(err_new)
         improved = err_new < err
         q = jnp.where(improved, q_new, q)
         t = jnp.where(improved, t_new, t)
@@ -270,6 +284,7 @@ def bundle_adjustment(q, t, cam_free, pos, mp_free, prob: BAProblem,
     def lm_phase(q, t, pos, edge_mask, use_kernel, n_iters):
         e, _, _, z = _edge_terms(prob, q, t, pos, cfg)
         _, err0 = _weights(prob, e, z, edge_mask, cfg, use_kernel)
+        err0 = _allsum(err0)
 
         def body(_, carry):
             q, t, pos, lam, err = carry

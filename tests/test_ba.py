@@ -9,11 +9,10 @@ from orb_slam_2_ros_tpu.config import SlamConfig
 from orb_slam_2_ros_tpu.geometry import se3, camera
 from orb_slam_2_ros_tpu.solvers import ba
 
-RNG = np.random.default_rng(31)
-
-
 def make_ba_problem(n_cams=8, n_pts=200, noise_px=0.3, stereo=True,
-                    pose_pert=0.02, point_pert=0.05):
+                    pose_pert=0.02, point_pert=0.05, seed=31):
+    # fresh generator per call: test data must not depend on test order
+    RNG = np.random.default_rng(seed)
     cfg = SlamConfig()
     cam = cfg.camera
     pts = np.stack([RNG.uniform(-3, 3, n_pts), RNG.uniform(-2, 2, n_pts),
@@ -116,10 +115,11 @@ def test_ba_mono_converges():
 
 def test_ba_prunes_outliers():
     (cfg, prob, q0, t0, pos0, cam_free, q_true, t_true, pts) = make_ba_problem()
+    rng = np.random.default_rng(77)
     obs = np.asarray(prob.obs).copy()
     E = obs.shape[0]
-    out_idx = RNG.choice(np.where(np.asarray(prob.valid))[0], 200, replace=False)
-    obs[out_idx, :2] += RNG.uniform(20, 80, (200, 2)) * RNG.choice([-1, 1], (200, 2))
+    out_idx = rng.choice(np.where(np.asarray(prob.valid))[0], 200, replace=False)
+    obs[out_idx, :2] += rng.uniform(20, 80, (200, 2)) * rng.choice([-1, 1], (200, 2))
     prob = prob._replace(obs=jnp.asarray(obs))
     fn = jax.jit(lambda *a: ba.bundle_adjustment(*a, cfg=cfg))
     q, t, pos, inl = fn(q0, t0, cam_free, pos0, jnp.ones(pos0.shape[0], bool), prob)
