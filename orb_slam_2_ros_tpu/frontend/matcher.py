@@ -145,12 +145,18 @@ def search_by_projection_pose(mp_world: jnp.ndarray, mp_desc: jnp.ndarray,
                               q, t, frame: Frame, cfg: SlamConfig,
                               th: float, src_angle: jnp.ndarray = None,
                               check_rotation: bool = True,
-                              exclude_kp: jnp.ndarray = None):
+                              exclude_kp: jnp.ndarray = None,
+                              widen_below: int = 0):
     """Project known 3D points (with a source octave per point) into the frame
     under pose (q, t) and match in a window th*scale^octave — the
     last-frame->current variant of SearchByProjection
     (``ORBmatcher.cc:1330-1472``) and the relocalization KF->frame variant
     (``:1474-1601``).
+
+    widen_below > 0 enables the reference's failure fallback: when fewer
+    than that many matches pass the narrow window, re-match with a 2x
+    window (``Tracking.cc:1002-1016``). The Hamming matrix is shared
+    between the two passes, so the retry costs one extra masked argmin.
 
     Returns (kp_to_src (max_kps,) int32, kp_dist)."""
     cam = cfg.camera
@@ -161,29 +167,37 @@ def search_by_projection_pose(mp_world: jnp.ndarray, mp_desc: jnp.ndarray,
     ok = src_valid & (z > 0) & camera.in_image(cam, uv)
 
     sf = cfg.orb.scale_factor ** src_octave.astype(jnp.float32)
-    radius = th * sf
     dx = jnp.abs(uv[:, None, 0] - frame.uv[None, :, 0])
     dy = jnp.abs(uv[:, None, 1] - frame.uv[None, :, 1])
-    window = (dx <= radius[:, None]) & (dy <= radius[:, None])
 
     kp_oct = frame.kps.octave[None, :]
     oct_ok = (kp_oct >= src_octave[:, None] - 1) & (kp_oct <= src_octave[:, None] + 1)
-
     has_ur = frame.u_right[None, :] > 0
     er = jnp.abs(uvr[..., 2][:, None] - frame.u_right[None, :])
-    stereo_ok = jnp.where(has_ur, er <= radius[:, None], True)
 
-    mask = ok[:, None] & frame.valid[None, :] & window & oct_ok & stereo_ok
+    base = ok[:, None] & frame.valid[None, :] & oct_ok
     if exclude_kp is not None:
-        mask = mask & (~exclude_kp)[None, :]
-
+        base = base & (~exclude_kp)[None, :]
     D = hamming_matrix(mp_desc, frame.desc)
-    best_idx, best_d, _, _ = best_two(D, mask)
-    accept = (best_d <= cfg.matcher.th_high) & ok
 
-    if check_rotation and src_angle is not None:
-        rot = jnp.degrees(src_angle - frame.kps.angle[best_idx])
-        accept = rotation_consistency(rot, accept)
+    def attempt(radius):
+        window = (dx <= radius[:, None]) & (dy <= radius[:, None])
+        stereo_ok = jnp.where(has_ur, er <= radius[:, None], True)
+        best_idx, best_d, _, _ = best_two(D, base & window & stereo_ok)
+        accept = (best_d <= cfg.matcher.th_high) & ok
+        if check_rotation and src_angle is not None:
+            rot = jnp.degrees(src_angle - frame.kps.angle[best_idx])
+            accept = rotation_consistency(rot, accept)
+        return best_idx, best_d, accept
+
+    best_idx, best_d, accept = attempt(th * sf)
+    if widen_below > 0:
+        n = jnp.sum(accept.astype(jnp.int32))
+        bi2, bd2, ac2 = attempt(2.0 * th * sf)
+        use_wide = n < widen_below
+        best_idx = jnp.where(use_wide, bi2, best_idx)
+        best_d = jnp.where(use_wide, bd2, best_d)
+        accept = jnp.where(use_wide, ac2, accept)
 
     return resolve_conflicts(best_idx, best_d, accept, frame.uv.shape[0])
 

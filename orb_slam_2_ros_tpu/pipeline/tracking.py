@@ -118,7 +118,8 @@ class Tracker:
             src_ok = has_last & m.mp_valid[jnp.clip(last_mp, 0)]
             kp_to_src, _ = matcher.search_by_projection_pose(
                 src_pos, src_desc, last_oct, src_ok, q_pred, t_pred, frame,
-                cfg, th=15.0, src_angle=last_angle, check_rotation=True)
+                cfg, th=15.0, src_angle=last_angle, check_rotation=True,
+                widen_below=tc.min_matches_motion)
             kp_mp1 = jnp.where(kp_to_src >= 0,
                                last_mp[jnp.clip(kp_to_src, 0)], -1)
             q1, t1, inl1, n1 = pose_optimization(

@@ -213,33 +213,69 @@ def l1_score(word_a, w_a, word_b, w_b, num_words: int):
 
 # ------------------------------------------------------------ ORBvoc binary
 
-def load_orbvoc_binary(path: str, cfg: SlamConfig) -> Vocabulary:
-    """Load the reference's binary vocabulary format
-    (``TemplatedVocabulary.h:1473-1546``: header ``k L scoring weighting``
-    then per non-root node ``parent(int32) isLeaf(bool) desc(32B)
-    weight(double)``, depth-first in parent order).
-
-    The tree is re-laid-out into the dense level arrays used by
-    ``transform``; nodes beyond a level's dense slot budget (DBoW2 trees can
-    be ragged when clusters were small) keep their parent's descriptor so
-    descent remains well-defined.
-    """
+def _parse_bin_py(path: str):
+    """Pure-Python fallback parser for the binary format (used when the
+    native loader, orb_slam_2_ros_tpu/native, is unavailable)."""
     with open(path, "rb") as f:
         header = f.read(16)
         k, L, _scoring, _weighting = struct.unpack("<iiii", header)
-        rec = struct.Struct("<i?32sd")
         raw = f.read()
+    rec = struct.Struct("<i?32sd")
     n_nodes = len(raw) // rec.size
-    parents = np.empty(n_nodes, np.int32)
-    descs = np.empty((n_nodes, 32), np.uint8)
-    weights = np.empty(n_nodes, np.float64)
-    is_leaf = np.empty(n_nodes, bool)
-    for i in range(n_nodes):
-        p, leaf, d, w = rec.unpack_from(raw, i * rec.size)
-        parents[i] = p
-        is_leaf[i] = leaf
-        descs[i] = np.frombuffer(d, np.uint8)
-        weights[i] = w
+    # vectorized unpack: the packed record is 45 bytes
+    arr = np.frombuffer(raw[:n_nodes * rec.size], np.uint8).reshape(
+        n_nodes, rec.size)
+    parents = arr[:, :4].copy().view("<i4")[:, 0]
+    is_leaf = arr[:, 4].astype(bool)
+    descs = arr[:, 5:37].copy()
+    weights = arr[:, 37:45].copy().view("<f8")[:, 0]
+    return k, L, parents.astype(np.int32), is_leaf, descs, weights
+
+
+def load_orbvoc(path: str, cfg: SlamConfig,
+                auto_convert: bool = True) -> Vocabulary:
+    """Load a DBoW2 vocabulary (binary ``.bin`` fast path or text ``.txt``),
+    replicating ``System.cc:68-88``: a text vocabulary is parsed once and
+    re-saved next to it in the binary format so later startups take the
+    fast path (``README.md:12``). Parsing uses the native C++ reader when
+    available (orb_slam_2_ros_tpu/native), else Python."""
+    from orb_slam_2_ros_tpu import native
+    parsed = native.parse_orbvoc(path)
+    if parsed is None:
+        if path.endswith(".txt"):
+            raise RuntimeError(
+                "text vocabulary parsing requires the native loader "
+                "(make -C orb_slam_2_ros_tpu/native)")
+        parsed = _parse_bin_py(path)
+    k, L, parents, is_leaf, descs, weights = parsed
+    if path.endswith(".txt") and auto_convert:
+        native.write_orbvoc_bin(path[:-4] + ".bin", k, L, parents, is_leaf,
+                                descs, weights)
+    return _relayout(k, L, parents, descs, weights, cfg)
+
+
+def load_orbvoc_binary(path: str, cfg: SlamConfig) -> Vocabulary:
+    """Binary-format loader (``TemplatedVocabulary.h:1473-1546``: header
+    ``k L scoring weighting`` then per non-root node ``parent(int32)
+    isLeaf(u8) desc(32B) weight(double)``)."""
+    parsed = None
+    try:
+        from orb_slam_2_ros_tpu import native
+        parsed = native.parse_orbvoc(path)
+    except Exception:
+        parsed = None
+    if parsed is None:
+        parsed = _parse_bin_py(path)
+    k, L, parents, is_leaf, descs, weights = parsed
+    return _relayout(k, L, parents, descs, weights, cfg)
+
+
+def _relayout(k, L, parents, descs, weights, cfg: SlamConfig) -> Vocabulary:
+    """Re-lay the parent-linked node list into the dense level arrays used
+    by ``transform``; nodes beyond a level's dense slot budget (DBoW2 trees
+    can be ragged when clusters were small) keep their parent's descriptor
+    so descent remains well-defined."""
+    n_nodes = len(parents)
 
     # re-layout: BFS from the root. Record i holds node id i+1 (the root,
     # id 0, is not written; ``saveToBinFile`` starts at m_nodes[1]). Dense

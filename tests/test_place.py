@@ -1,6 +1,7 @@
 """Place recognition tests: vocabulary tree, BoW scoring, candidate retrieval
 (SURVEY.md §4: unit tests per kernel with known-answer oracles)."""
 
+import os
 import struct
 
 import jax.numpy as jnp
@@ -176,3 +177,59 @@ def test_orbvoc_binary_loader():
         descs[3:7].reshape(4, 32).view("<u4").astype(np.uint32))
     wid, _, _ = vocabulary.transform(voc, leaf_desc, jnp.ones((4,), bool))
     np.testing.assert_array_equal(np.asarray(wid), [0, 1, 2, 3])
+
+
+def _write_tiny_bin(path, descs, recs):
+    with open(path, "wb") as f:
+        f.write(struct.pack("<iiii", 2, 2, 0, 0))
+        for parent, leaf, d, w in recs:
+            f.write(struct.pack("<i", parent))
+            f.write(struct.pack("<B", leaf))
+            f.write(d.tobytes())
+            f.write(struct.pack("<d", w))
+
+
+def test_native_vocab_loader_parity(tmp_path):
+    """Native C++ parser must agree with the Python fallback, and the text
+    path must auto-convert to binary (System.cc:68-88 behavior)."""
+    from orb_slam_2_ros_tpu import native
+    from orb_slam_2_ros_tpu.place.vocabulary import _parse_bin_py
+
+    descs = np.zeros((7, 32), np.uint8)
+    descs[2] = 0xFF
+    descs[3, 0] = 0x01
+    descs[4, 0] = 0x06
+    descs[5] = 0xFF; descs[5, 0] = 0xFE
+    descs[6] = 0xFF; descs[6, 0] = 0xF9
+    recs = [
+        (0, 0, descs[1], 0.0), (0, 0, descs[2], 0.0),
+        (1, 1, descs[3], 0.5), (1, 1, descs[4], 0.6),
+        (2, 1, descs[5], 0.7), (2, 1, descs[6], 0.8),
+    ]
+    p = str(tmp_path / "voc.bin")
+    _write_tiny_bin(p, descs, recs)
+
+    py = _parse_bin_py(p)
+    nat = native.parse_orbvoc(p)
+    if nat is None:
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    for a, b in zip(py, nat):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # text round trip: write text, load (auto-converts), compare transform
+    pt = str(tmp_path / "voc.txt")
+    with open(pt, "w") as f:
+        f.write("2 2 0 0\n")
+        for parent, leaf, d, w in recs:
+            f.write(f"{parent} {leaf} " + " ".join(str(int(v)) for v in d)
+                    + f" {w}\n")
+    cfg = dataclasses.replace(SlamConfig(),
+                              vocab=VocabConfig(k=2, levels=2, levels_up=1))
+    voc_txt = vocabulary.load_orbvoc(pt, cfg)
+    assert os.path.exists(pt[:-4] + ".bin"), "text->bin auto-convert missing"
+    voc_bin = vocabulary.load_orbvoc(pt[:-4] + ".bin", cfg)
+    np.testing.assert_array_equal(np.asarray(voc_txt.node_desc),
+                                  np.asarray(voc_bin.node_desc))
+    np.testing.assert_allclose(np.asarray(voc_txt.word_weight),
+                               [0.5, 0.6, 0.7, 0.8])
