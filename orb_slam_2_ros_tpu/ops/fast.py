@@ -35,21 +35,26 @@ def fast_score_map(img: jnp.ndarray) -> jnp.ndarray:
     <=> score >= t for integral scores. Border pixels (within 3 of the edge)
     get garbage from wraparound; callers must mask a border >= 3.
     """
+    # bfloat16 is exact for u8 differences (integers <= 256 have exact bf16
+    # representations) and halves the HBM traffic of the (16, H, W) stacks
+    x = img.astype(jnp.bfloat16)
     planes = []
     for dx, dy in RING_16:
-        planes.append(jnp.roll(img, shift=(-dy, -dx), axis=(0, 1)))
+        planes.append(jnp.roll(x, shift=(-dy, -dx), axis=(0, 1)))
     ring = jnp.stack(planes)              # (16, H, W): ring[k] = I(y+dy_k, x+dx_k)
-    d = img[None, :, :] - ring            # center - ring; >0 where ring darker
+    d = x[None, :, :] - ring              # center - ring; >0 where ring darker
 
     def max_min_over_9runs(diffs):
-        m = diffs
-        for s in range(1, 9):
-            m = jnp.minimum(m, jnp.roll(diffs, -s, axis=0))
-        return jnp.max(m, axis=0)
+        # logarithmic contiguous-run min: {0,1} -> {0..3} -> {0..7} -> {0..8}
+        m1 = jnp.minimum(diffs, jnp.roll(diffs, -1, axis=0))
+        m2 = jnp.minimum(m1, jnp.roll(m1, -2, axis=0))
+        m4 = jnp.minimum(m2, jnp.roll(m2, -4, axis=0))
+        m9 = jnp.minimum(m4, jnp.roll(diffs, -8, axis=0))
+        return jnp.max(m9, axis=0)
 
     dark = max_min_over_9runs(d)          # best "center brighter" arc
     bright = max_min_over_9runs(-d)       # best "center darker" arc
-    return jnp.maximum(dark, bright) - 1.0
+    return (jnp.maximum(dark, bright) - 1.0).astype(jnp.float32)
 
 
 def detect(score: jnp.ndarray, threshold: float, min_threshold: float,
@@ -78,6 +83,8 @@ def detect(score: jnp.ndarray, threshold: float, min_threshold: float,
     occ_full = jnp.repeat(jnp.repeat(occ, cell, axis=0), cell, axis=1)[:H, :W]
 
     mask = corner_hi | (corner_lo & ~occ_full)
-    resp = jnp.where(mask, score, 0.0)
+    # NMS in bf16: scores are integers <= 255, exact in bf16, half the
+    # bandwidth of the 8-slice neighborhood max
+    resp = jnp.where(mask, score, 0.0).astype(jnp.bfloat16)
     keep = mask & (resp > max_pool_3x3(resp))
-    return jnp.where(keep, resp, 0.0)
+    return jnp.where(keep, score, 0.0)

@@ -25,8 +25,32 @@ def popcount_u32(v: jnp.ndarray) -> jnp.ndarray:
     return ((v * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
 
 
+def unpack_pm1(a: jnp.ndarray) -> jnp.ndarray:
+    """(N, 8) uint32 -> (N, 256) bfloat16 in {-1, +1} (bit=1 -> -1)."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (a[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    pm = 1.0 - 2.0 * bits.astype(jnp.bfloat16)
+    return pm.reshape(a.shape[0], 256)
+
+
 def hamming_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """a: (N, 8) uint32, b: (M, 8) uint32 -> (N, M) int32 Hamming distances."""
+    """a: (N, 8) uint32, b: (M, 8) uint32 -> (N, M) int32 Hamming distances.
+
+    Computed on the MXU: with bits mapped to +-1, ``dot(a, b) = 256 - 2 *
+    hamming`` — one (N, 256) x (256, M) bfloat16 matmul with f32
+    accumulation is exact (every intermediate is an integer <= 256) and an
+    order of magnitude faster than the VPU xor-popcount path at matcher
+    sizes (SURVEY.md §7.1: "batched Hamming ... as an (N x M) tile kernel").
+    """
+    pa = unpack_pm1(a)
+    pb = unpack_pm1(b)
+    dot = jnp.dot(pa, pb.T, preferred_element_type=jnp.float32)
+    return ((256.0 - dot) * 0.5).astype(jnp.int32)
+
+
+def hamming_matrix_popcount(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Reference xor-popcount path (kept as the oracle for the MXU version
+    and for hosts without an MXU)."""
     x = a[:, None, :] ^ b[None, :, :]
     return jnp.sum(popcount_u32(x), axis=-1)
 
