@@ -1,12 +1,14 @@
 """CLI runner: the executable replacing the reference's ROS nodes.
 
 ``python -m orb_slam_2_ros_tpu.run --dataset synthetic --frames 60`` runs the
-full pipeline and prints per-chunk tracking state plus final ATE; with
-``--dataset tum --path <dir>`` it consumes a real TUM RGB-D directory.
-Replaces `orb_slam_2_ros_{mono,stereo,rgbd}` mains (§2.20) with the
-topic-free equivalent; ``--save-map``/``--load-map`` replace the SaveMap
-service (``srv/SaveMap.srv``), ``--save-traj`` the shutdown auto-save
-(``ros/src/Node.cc:13-21``).
+full pipeline and prints per-chunk tracking state plus final ATE; real data
+comes in via ``--dataset tum|kitti|euroc --path <dir>``. Replaces the
+`orb_slam2_ros_{mono,stereo,rgbd}` mains (§2.20) with the topic-free
+equivalent: ``--sensor`` picks the pipeline like choosing the executable;
+``--save-map``/``--load-map`` replace the SaveMap service
+(``srv/SaveMap.srv``); ``--save-traj`` the shutdown auto-save
+(``ros/src/Node.cc:13-21``); ``--localization-only`` the dynamic-reconfigure
+toggle; ``--loop-closing`` enables the loop-closure + global-BA path.
 """
 
 from __future__ import annotations
@@ -20,65 +22,111 @@ import numpy as np
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description="TPU-native ORB-SLAM2-class engine")
-    ap.add_argument("--dataset", choices=["synthetic", "tum"], default="synthetic")
-    ap.add_argument("--path", help="dataset directory (tum)")
+    ap.add_argument("--dataset",
+                    choices=["synthetic", "tum", "kitti", "euroc"],
+                    default="synthetic")
+    ap.add_argument("--sensor", choices=["mono", "stereo", "rgbd"],
+                    help="default: rgbd for tum/synthetic, stereo for "
+                         "kitti/euroc")
+    ap.add_argument("--path", help="dataset directory (tum/kitti/euroc)")
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no-ba", action="store_true", help="disable local BA")
+    ap.add_argument("--loop-closing", action="store_true",
+                    help="enable loop detection + Sim3 correction + GBA")
     ap.add_argument("--localization-only", action="store_true")
     ap.add_argument("--save-map", help="write map npz on exit")
     ap.add_argument("--load-map", help="load map npz at start")
+    ap.add_argument("--vocab", help="vocabulary file (.bin/.txt/.npz)")
     ap.add_argument("--save-traj", help="write TUM trajectory on exit")
     ap.add_argument("--save-kf-traj", help="write TUM keyframe trajectory")
+    ap.add_argument("--save-debug-image", help="write final annotated frame")
     args = ap.parse_args(argv)
 
-    from orb_slam_2_ros_tpu.config import SlamConfig, tum_fr1_config
+    from orb_slam_2_ros_tpu.config import (SENSOR_MONOCULAR, SENSOR_RGBD,
+                                           SENSOR_STEREO, SlamConfig,
+                                           tum_fr1_config)
     from orb_slam_2_ros_tpu.pipeline.slam import System
-    from orb_slam_2_ros_tpu.pipeline.tracking import OK, Tracker
+    from orb_slam_2_ros_tpu.pipeline.tracking import OK
     from orb_slam_2_ros_tpu.io.trajectory import ate_rmse
 
-    if args.dataset == "tum" and not args.path:
-        ap.error("--dataset tum requires --path <sequence directory>")
+    if args.dataset in ("tum", "kitti", "euroc") and not args.path:
+        ap.error(f"--dataset {args.dataset} requires --path")
 
+    sensor_name = args.sensor or {"synthetic": "rgbd", "tum": "rgbd",
+                                  "kitti": "stereo", "euroc": "stereo"}[
+        args.dataset]
+    sensor = {"mono": SENSOR_MONOCULAR, "stereo": SENSOR_STEREO,
+              "rgbd": SENSOR_RGBD}[sensor_name]
+
+    gt = None
     if args.dataset == "synthetic":
-        from orb_slam_2_ros_tpu.io.synthetic import SyntheticRGBD
-        cfg = SlamConfig()
-        ds = SyntheticRGBD(cfg, n_frames=args.frames, seed=args.seed)
+        from orb_slam_2_ros_tpu.io.synthetic import (SyntheticRGBD,
+                                                     SyntheticStereo)
+        cfg = SlamConfig(sensor=sensor)
+        if sensor == SENSOR_STEREO:
+            ds = SyntheticStereo(cfg, n_frames=args.frames, seed=args.seed)
+        else:
+            ds = SyntheticRGBD(cfg, n_frames=args.frames, seed=args.seed)
         gt = np.stack([ds.gt_pose_wc(i)[1] for i in range(len(ds))])
-    else:
+    elif args.dataset == "tum":
         from orb_slam_2_ros_tpu.io.datasets import TumRGBD
-        cfg = tum_fr1_config()
+        cfg = tum_fr1_config(sensor=sensor)
         ds = TumRGBD(args.path, cfg.camera.depth_map_factor)
-        gt = None
+    elif args.dataset == "kitti":
+        from orb_slam_2_ros_tpu.io.datasets import KittiOdometry
+        from orb_slam_2_ros_tpu.config import CameraConfig
+        # KITTI 00-02 calibration (P0); override via config for other seqs
+        cam = CameraConfig(width=1241, height=376, fx=718.856, fy=718.856,
+                           cx=607.1928, cy=185.2157, bf=386.1448,
+                           th_depth=35.0)
+        cfg = SlamConfig(sensor=sensor, camera=cam)
+        ds = KittiOdometry(args.path)
+    else:
+        from orb_slam_2_ros_tpu.io.datasets import EurocMav
+        from orb_slam_2_ros_tpu.config import CameraConfig
+        cam = CameraConfig(width=752, height=480, fx=435.2046, fy=435.2046,
+                           cx=367.4517, cy=252.2008, bf=47.90639,
+                           th_depth=35.0)
+        cfg = SlamConfig(sensor=sensor, camera=cam)
+        ds = EurocMav(args.path)
 
     if args.localization_only:
         cfg = cfg.replace(localization_only=True)
-    sys_ = System(cfg, enable_local_ba=not args.no_ba, load_map=args.load_map)
+    vocab = None
+    if args.vocab:
+        from orb_slam_2_ros_tpu.place import vocabulary
+        vocab = (vocabulary.load_npz(args.vocab) if args.vocab.endswith(".npz")
+                 else vocabulary.load_orbvoc(args.vocab, cfg))
+    sys_ = System(cfg, enable_local_ba=not args.no_ba,
+                  load_map=args.load_map,
+                  enable_loop_closing=args.loop_closing, vocab=vocab)
 
-    n = len(ds)
-    chunk = Tracker.CHUNK
+    n = min(len(ds), args.frames) if args.dataset != "synthetic" else len(ds)
+    chunk = sys_.tracker.chunk
     t_start = time.perf_counter()
+    recs_all = []
     for i in range(0, n, chunk):
         j = min(i + chunk, n)
-        grays = np.stack([ds[k][0] for k in range(i, j)])
-        depths = np.stack([ds[k][1] for k in range(i, j)])
-        sys_.track_chunk(grays, depths, ds.timestamps[i:j], defer_fetch=True)
-        print(f"[{i:4d}-{j:4d}) dispatched", flush=True)
-    recs_all = sys_.flush()   # single fetch at the end (fast-launch mode kept)
-    dt = time.perf_counter() - t_start
-    for i in range(0, n, chunk):
-        recs = recs_all[i:min(i + chunk, n)]
+        a = np.stack([ds[k][0] for k in range(i, j)])
+        b = np.stack([ds[k][1] for k in range(i, j)])
+        recs = sys_.track_chunk(a, b, list(ds.timestamps[i:j]))
+        recs_all += recs
         ok = sum(r.state == OK for r in recs)
         kfs = sum(r.is_keyframe for r in recs)
-        print(f"[{i:4d}-{min(i+chunk,n):4d}) tracked {ok}/{len(recs)} "
-              f"(+{kfs} KF, inliers {recs[-1].n_inliers})")
+        print(f"[{i:4d}-{j:4d}) tracked {ok}/{len(recs)} (+{kfs} KF, "
+              f"inliers {recs[-1].n_inliers})", flush=True)
+    dt = time.perf_counter() - t_start
 
     est = np.stack([r.c_w for r in sys_.records])
-    print(f"done: {n} frames in {dt:.1f}s, "
+    print(f"done: {n} frames in {dt:.1f}s ({n / dt:.1f} fps incl. host IO), "
           f"{int(np.sum([r.is_keyframe for r in sys_.records]))} keyframes, "
           f"{len(sys_.map_points())} map points")
+    if sys_.loop_closer is not None:
+        print(f"loops closed: {sys_.loop_closer.n_loops_closed}")
     if gt is not None:
-        print(f"ATE RMSE vs ground truth: {ate_rmse(est, gt):.4f} m")
+        ate = ate_rmse(est, gt, with_scale=(sensor == SENSOR_MONOCULAR))
+        print(f"ATE RMSE vs ground truth: {ate:.4f} m")
     if args.save_traj:
         sys_.save_trajectory_tum(args.save_traj)
         print("trajectory ->", args.save_traj)
@@ -87,6 +135,12 @@ def main(argv=None):
     if args.save_map:
         sys_.save_map(args.save_map)
         print("map ->", args.save_map)
+    if args.save_debug_image:
+        img = sys_.render_debug_image()
+        if img is not None:
+            import cv2
+            cv2.imwrite(args.save_debug_image, img)
+            print("debug image ->", args.save_debug_image)
     return 0
 
 
