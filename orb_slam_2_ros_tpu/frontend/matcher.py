@@ -21,10 +21,49 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+import os
+
 from orb_slam_2_ros_tpu.config import SlamConfig
 from orb_slam_2_ros_tpu.frontend.frame import Frame
 from orb_slam_2_ros_tpu.geometry import camera, se3
-from orb_slam_2_ros_tpu.ops.hamming import INF_DIST, best_two, hamming_matrix
+from orb_slam_2_ros_tpu.ops.hamming import (INF_DIST, best_two,
+                                            hamming_matrix, unpack_pm1)
+
+
+def _pallas_ok(n: int, m: int) -> bool:
+    """Use the fused Pallas matcher kernel when on a TPU backend and the
+    problem tiles cleanly (ops/pallas_match.py); pool sizes are config
+    constants, so this is a trace-time decision."""
+    if os.environ.get("SLAM_DISABLE_PALLAS"):
+        return False
+    if n % 128 or m % 128 or m >= (1 << 15):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:       # pragma: no cover
+        return False
+
+
+def _fused_best_two(desc_rows, desc_cols, row_uv, row_rad, row_oct_lo,
+                    row_oct_hi, row_ur, row_ok, col_uv, col_oct, col_ur,
+                    col_ok, interpret: bool = False):
+    """Streamed masked best/second-best via the Pallas kernel."""
+    from orb_slam_2_ros_tpu.ops import pallas_match
+    f32 = jnp.float32
+    row_meta = jnp.stack([
+        row_uv[:, 0].astype(f32), row_uv[:, 1].astype(f32),
+        row_rad.astype(f32), row_oct_lo.astype(f32), row_oct_hi.astype(f32),
+        row_ur.astype(f32), row_ok.astype(f32),
+        jnp.zeros_like(row_rad, dtype=f32)])
+    col_meta = jnp.stack([
+        col_uv[:, 0].astype(f32), col_uv[:, 1].astype(f32),
+        col_oct.astype(f32), col_ur.astype(f32), col_ok.astype(f32),
+        jnp.zeros_like(col_oct, dtype=f32),
+        jnp.zeros_like(col_oct, dtype=f32),
+        jnp.zeros_like(col_oct, dtype=f32)])
+    return pallas_match.masked_best_two(
+        unpack_pm1(desc_rows), row_meta, unpack_pm1(desc_cols), col_meta,
+        interpret=interpret)
 
 
 class TrackInView(NamedTuple):
@@ -115,22 +154,29 @@ def search_local_map(tv: TrackInView, mp_desc: jnp.ndarray, frame: Frame,
     sf = cfg.orb.scale_factor ** tv.pred_level.astype(jnp.float32)   # (N,)
     r = jnp.where(tv.view_cos > 0.998, 2.5, 4.0) * th * sf           # (N,)
 
-    dx = jnp.abs(tv.uv[:, None, 0] - frame.uv[None, :, 0])
-    dy = jnp.abs(tv.uv[:, None, 1] - frame.uv[None, :, 1])
-    window = (dx <= r[:, None]) & (dy <= r[:, None])
+    if _pallas_ok(mp_desc.shape[0], frame.desc.shape[0]):
+        best_idx, best_d, second_idx, second_d = _fused_best_two(
+            mp_desc, frame.desc, tv.uv, r, tv.pred_level - 1, tv.pred_level,
+            tv.u_right, tv.ok, frame.uv, frame.kps.octave, frame.u_right,
+            frame.valid & ~kp_has_mp)
+    else:
+        dx = jnp.abs(tv.uv[:, None, 0] - frame.uv[None, :, 0])
+        dy = jnp.abs(tv.uv[:, None, 1] - frame.uv[None, :, 1])
+        window = (dx <= r[:, None]) & (dy <= r[:, None])
 
-    kp_oct = frame.kps.octave[None, :]
-    oct_ok = (kp_oct >= tv.pred_level[:, None] - 1) & (kp_oct <= tv.pred_level[:, None])
+        kp_oct = frame.kps.octave[None, :]
+        oct_ok = ((kp_oct >= tv.pred_level[:, None] - 1)
+                  & (kp_oct <= tv.pred_level[:, None]))
 
-    has_ur = frame.u_right[None, :] > 0
-    er = jnp.abs(tv.u_right[:, None] - frame.u_right[None, :])
-    stereo_ok = jnp.where(has_ur, er <= r[:, None], True)
+        has_ur = frame.u_right[None, :] > 0
+        er = jnp.abs(tv.u_right[:, None] - frame.u_right[None, :])
+        stereo_ok = jnp.where(has_ur, er <= r[:, None], True)
 
-    mask = (tv.ok[:, None] & frame.valid[None, :] & (~kp_has_mp)[None, :]
-            & window & oct_ok & stereo_ok)
+        mask = (tv.ok[:, None] & frame.valid[None, :] & (~kp_has_mp)[None, :]
+                & window & oct_ok & stereo_ok)
 
-    D = hamming_matrix(mp_desc, frame.desc)
-    best_idx, best_d, second_idx, second_d = best_two(D, mask)
+        D = hamming_matrix(mp_desc, frame.desc)
+        best_idx, best_d, second_idx, second_d = best_two(D, mask)
 
     lvl_best = frame.kps.octave[best_idx]
     lvl_second = frame.kps.octave[second_idx]
@@ -176,14 +222,24 @@ def search_by_projection_pose(mp_world: jnp.ndarray, mp_desc: jnp.ndarray,
     er = jnp.abs(uvr[..., 2][:, None] - frame.u_right[None, :])
 
     base = ok[:, None] & frame.valid[None, :] & oct_ok
+    col_ok = frame.valid
     if exclude_kp is not None:
         base = base & (~exclude_kp)[None, :]
-    D = hamming_matrix(mp_desc, frame.desc)
+        col_ok = col_ok & ~exclude_kp
+    use_pallas = _pallas_ok(mp_desc.shape[0], frame.desc.shape[0])
+    if not use_pallas:
+        D = hamming_matrix(mp_desc, frame.desc)
 
     def attempt(radius):
-        window = (dx <= radius[:, None]) & (dy <= radius[:, None])
-        stereo_ok = jnp.where(has_ur, er <= radius[:, None], True)
-        best_idx, best_d, _, _ = best_two(D, base & window & stereo_ok)
+        if use_pallas:
+            best_idx, best_d, _, _ = _fused_best_two(
+                mp_desc, frame.desc, uv, radius, src_octave - 1,
+                src_octave + 1, uvr[..., 2], ok,
+                frame.uv, frame.kps.octave, frame.u_right, col_ok)
+        else:
+            window = (dx <= radius[:, None]) & (dy <= radius[:, None])
+            stereo_ok = jnp.where(has_ur, er <= radius[:, None], True)
+            best_idx, best_d, _, _ = best_two(D, base & window & stereo_ok)
         accept = (best_d <= cfg.matcher.th_high) & ok
         if check_rotation and src_angle is not None:
             rot = jnp.degrees(src_angle - frame.kps.angle[best_idx])
