@@ -219,36 +219,114 @@ def extract(img: jnp.ndarray, cfg: OrbConfig) -> Keypoints:
     return kps
 
 
+def _ic_angles_flat(P0f, P1f, off, W_lvl, x, y):
+    """IC angles over a flattened pyramid: per-keypoint level base offset
+    ``off`` and level width ``W_lvl``. Same math as ic_angles_at but one
+    gather pass for ALL levels' keypoints (TPU gathers are launch-bound:
+    8 small per-level gathers cost far more than one batched one)."""
+    um = umax_table()
+    total = P0f.shape[0]
+    xf = x.astype(jnp.float32)
+    m10 = jnp.zeros(x.shape, jnp.float32)
+    m01 = jnp.zeros(x.shape, jnp.float32)
+    for v in range(-HALF_PATCH, HALF_PATCH + 1):
+        d = um[abs(v)]
+        base = off + (y + v) * W_lvl
+        hi = jnp.clip(base + x + d, 0, total - 1)
+        lo = jnp.clip(base + x - d - 1, 0, total - 1)
+        s0 = P0f[hi] - P0f[lo]
+        s1 = P1f[hi] - P1f[lo]
+        m10 = m10 + (s1 - xf * s0)
+        m01 = m01 + float(v) * s0
+    return jnp.arctan2(m01, m10)
+
+
+def _descriptors_flat(blur_flat, off, W_lvl, H_lvl, x, y, angle):
+    """Rotated rBRIEF over a flattened blurred pyramid (one gather pass)."""
+    total = blur_flat.shape[0]
+    pat = jnp.asarray(_brief_pattern().astype(np.float32))
+    a = jnp.cos(angle)[:, None]
+    b = jnp.sin(angle)[:, None]
+    px, py = pat[:, 0][None, :], pat[:, 1][None, :]
+    sx = jnp.round(px * a - py * b).astype(jnp.int32) + x[:, None]
+    sy = jnp.round(px * b + py * a).astype(jnp.int32) + y[:, None]
+    sx = jnp.clip(sx, 0, W_lvl[:, None] - 1)
+    sy = jnp.clip(sy, 0, H_lvl[:, None] - 1)
+    idx = jnp.clip(off[:, None] + sy * W_lvl[:, None] + sx, 0, total - 1)
+    vals = blur_flat[idx]                                    # (N, 512)
+    v0 = vals[:, 0::2]
+    v1 = vals[:, 1::2]
+    return _pack_bits_u32(v0 < v1)
+
+
 def extract_with_pyramid(img: jnp.ndarray, cfg: OrbConfig):
     """extract() that also returns the unblurred pyramid level images
-    (needed by the stereo SAD refinement, frontend/stereo.py)."""
+    (needed by the stereo SAD refinement, frontend/stereo.py).
+
+    Structure: detection (whole-image ops, XLA-fused) runs per level; the
+    per-keypoint gather stages (IC angle, rBRIEF) run ONCE over a flattened
+    pyramid for all levels' keypoints together."""
     budgets = level_budgets(cfg)
     H, W = img.shape
     img = quantize_u8(img)
 
-    xs, rs, angs, descs, octs, valids = [], [], [], [], [], []
+    xs_l, ys_l, rs, octs, valids, offs, ws, hs = [], [], [], [], [], [], [], []
     pyramid = []
+    p0s, p1s, blurs = [], [], []
     level_img = img
+    offset = 0
     for lvl in range(cfg.n_levels):
         if lvl > 0:
             scale = cfg.scale_factor ** lvl
             sz = (int(round(H / scale)), int(round(W / scale)))
             level_img = quantize_u8(resize_linear(level_img, sz))
         pyramid.append(level_img)
-        xy, resp, ang, desc, valid = _extract_level(level_img, budgets[lvl], cfg)
-        xs.append(xy * (cfg.scale_factor ** lvl))  # back to level-0 coords
-        rs.append(resp)
-        angs.append(ang)
-        descs.append(desc)
-        octs.append(jnp.full((budgets[lvl],), lvl, jnp.int32))
-        valids.append(valid)
+        Hl, Wl = level_img.shape
 
-    xy = jnp.concatenate(xs)
+        resp_map = fast_ops.detect(
+            fast_ops.fast_score_map(level_img),
+            threshold=float(cfg.ini_th_fast),
+            min_threshold=float(cfg.min_th_fast),
+            cell=cfg.fast_cell, border=cfg.edge_threshold)
+        vals, idx = jax.lax.approx_max_k(resp_map.ravel(), budgets[lvl],
+                                         recall_target=0.95)
+        y = idx // Wl
+        x = idx % Wl
+        n_l = budgets[lvl]
+        xs_l.append(x)
+        ys_l.append(y)
+        rs.append(vals)
+        valids.append(vals > 0.0)
+        octs.append(jnp.full((n_l,), lvl, jnp.int32))
+        offs.append(jnp.full((n_l,), offset, jnp.int32))
+        ws.append(jnp.full((n_l,), Wl, jnp.int32))
+        hs.append(jnp.full((n_l,), Hl, jnp.int32))
+
+        col = jax.lax.broadcasted_iota(jnp.float32, (Hl, Wl), 1)
+        p0s.append(jnp.cumsum(level_img, axis=1).ravel())
+        p1s.append(jnp.cumsum(level_img * col, axis=1).ravel())
+        blurs.append(quantize_u8(gaussian_blur_7x7(level_img)).ravel())
+        offset += Hl * Wl
+
+    x = jnp.concatenate(xs_l)
+    y = jnp.concatenate(ys_l)
+    off = jnp.concatenate(offs)
+    W_lvl = jnp.concatenate(ws)
+    H_lvl = jnp.concatenate(hs)
     response = jnp.concatenate(rs)
-    angle = jnp.concatenate(angs)
-    desc = jnp.concatenate(descs)
     octave = jnp.concatenate(octs)
     valid = jnp.concatenate(valids)
+
+    P0f = jnp.concatenate(p0s)
+    P1f = jnp.concatenate(p1s)
+    blur_flat = jnp.concatenate(blurs)
+
+    angle = _ic_angles_flat(P0f, P1f, off, W_lvl, x, y)
+    desc = _descriptors_flat(blur_flat, off, W_lvl, H_lvl, x, y, angle)
+
+    scale_per = jnp.asarray([cfg.scale_factor ** l
+                             for l in range(cfg.n_levels)], jnp.float32)
+    xy = jnp.stack([x, y], -1).astype(jnp.float32) * scale_per[octave][:, None]
 
     n = xy.shape[0]
     pad = cfg.max_kps - n
