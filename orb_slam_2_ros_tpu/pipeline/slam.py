@@ -48,7 +48,10 @@ class System:
     def __init__(self, cfg: SlamConfig, enable_local_ba: bool = True,
                  ba_window: int = 20, load_map: Optional[str] = None,
                  enable_loop_closing: bool = False, vocab=None):
+        from orb_slam_2_ros_tpu.pipeline.metrics import StageTimers
         self.cfg = cfg
+        self.timers = StageTimers()
+        self.n_resets = 0
         self.tracker = Tracker(cfg)
         self.mapper = LocalMapper(cfg, window=ba_window) if enable_local_ba else None
         self.localization_only = cfg.localization_only
@@ -127,28 +130,67 @@ class System:
         C = self.tracker.chunk
         for w0 in range(0, len(grays), C):
             w1 = min(w0 + C, len(grays))
-            recs += self.tracker.process_chunk(
-                grays[w0:w1], depths[w0:w1], timestamps[w0:w1],
-                defer_fetch=defer_fetch)
+            with self.timers.time("tracking"):
+                recs += self.tracker.process_chunk(
+                    grays[w0:w1], depths[w0:w1], timestamps[w0:w1],
+                    defer_fetch=defer_fetch)
             # mapping: one windowed-BA step per chunk, unconditionally —
             # checking "was a keyframe inserted?" would need a device fetch,
             # which permanently degrades the relay's launch latency
             if self.mapper is not None and not self.localization_only:
-                m2, n_culled = self.mapper.run(self.tracker.carry.m)
-                self.tracker.carry = self.tracker.carry._replace(m=m2)
-                self._culled_dev.append(n_culled)
+                with self.timers.time("local_mapping"):
+                    m2, n_culled = self.mapper.run(self.tracker.carry.m)
+                    self.tracker.carry = self.tracker.carry._replace(m=m2)
+                    self._culled_dev.append(n_culled)
             if self.loop_closer is not None and self.loop_closing_enabled \
                     and not self.localization_only:
-                m2, closed = self.loop_closer.process(self.tracker.carry.m)
-                if closed:
-                    self.tracker.adopt_map(m2)
+                with self.timers.time("loop_closing"):
+                    m2, closed = self.loop_closer.process(self.tracker.carry.m)
+                    if closed:
+                        self.tracker.adopt_map(m2)
         self._frame_counter += len(grays)
         self._last_frame_inputs = (grays[-1], depths[-1])
         # relocalization: when the chunk ended LOST, re-acquire against the
         # BoW index (Tracking.cc:341-346 -> Relocalization)
         if recs and recs[-1].state == LOST and self.relocalizer is not None:
-            self.relocalize()
+            with self.timers.time("relocalization"):
+                ok = self.relocalize()
+            # auto-reset: lost with a barely-started map
+            # (Tracking.cc:508-516, threshold = min_num_kf_in_map)
+            if not ok and not self.localization_only and \
+                    self.tracker.n_kfs <= self.cfg.tracking.min_num_kf_in_map:
+                self.reset()
         return init_recs + recs
+
+    def reset(self):
+        """Full map + tracker reset (``Tracking::Reset``,
+        ``Tracking.cc:1727-1765``; ``System::Reset`` flag protocol becomes a
+        plain call on the functional state)."""
+        self.tracker.carry = self.tracker._fresh_carry(
+            map_state.empty(self.cfg))
+        self.tracker.state = NOT_INITIALIZED
+        if self.loop_closer is not None:
+            from orb_slam_2_ros_tpu.pipeline.loop_closing import empty_state
+            self.loop_closer.state = empty_state(self.cfg)
+        if self.mono_init is not None:
+            self.mono_init.ref = None
+            self._mono_initialized = False
+        self.n_resets += 1
+
+    def metrics(self) -> dict:
+        """Run summary (SURVEY.md §5.5): counters + per-stage timing."""
+        m = self.tracker.map
+        recs = self.tracker.records
+        return {
+            "frames": len(recs),
+            "keyframes": int(jax.device_get(m.n_kfs)),
+            "map_points": int(np.asarray(jax.device_get(m.mp_valid)).sum()),
+            "points_culled": self.n_culled_total,
+            "loops_closed": (self.loop_closer.n_loops_closed
+                             if self.loop_closer else 0),
+            "resets": self.n_resets,
+            "stages": self.timers.summary(),
+        }
 
     def _placeholder_record(self, ts, state, offset=0) -> FrameRecord:
         return FrameRecord(

@@ -124,6 +124,11 @@ def main(argv=None):
           f"{len(sys_.map_points())} map points")
     if sys_.loop_closer is not None:
         print(f"loops closed: {sys_.loop_closer.n_loops_closed}")
+    mx = sys_.metrics()
+    stage_str = ", ".join(f"{k} {v['mean_ms']:.1f}ms"
+                          for k, v in mx["stages"].items())
+    print(f"metrics: {mx['keyframes']} KFs, {mx['map_points']} points, "
+          f"{mx['points_culled']} culled, {mx['resets']} resets | {stage_str}")
     if gt is not None:
         ate = ate_rmse(est, gt, with_scale=(sensor == SENSOR_MONOCULAR))
         print(f"ATE RMSE vs ground truth: {ate:.4f} m")

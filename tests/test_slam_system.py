@@ -112,3 +112,25 @@ def test_render_debug_image(run_result):
     # green keypoint overlays present
     green = (img[:H, :, 1] > 200) & (img[:H, :, 0] < 100)
     assert green.sum() > 50
+
+
+def test_metrics_and_reset(run_result):
+    cfg, ds, sys_, recs = run_result
+    m = sys_.metrics()
+    assert m["frames"] >= 24 and m["keyframes"] >= 1
+    assert m["map_points"] > 100
+    assert "tracking" in m["stages"]
+    assert m["stages"]["tracking"]["mean_ms"] > 0
+
+    # reset clears everything (Tracking.cc:1727-1765 protocol)
+    sys2 = System(cfg, enable_local_ba=False)
+    grays = np.stack([ds[i][0] for i in range(8)])
+    depths = np.stack([ds[i][1] for i in range(8)])
+    sys2.track_chunk(grays, depths, ds.timestamps[:8])
+    assert sys2.tracker.n_kfs >= 1
+    sys2.reset()
+    assert sys2.tracker.n_kfs == 0
+    assert sys2.n_resets == 1
+    # tracks again after the reset
+    recs2 = sys2.track_chunk(grays, depths, ds.timestamps[:8])
+    assert any(r.state == OK for r in recs2)
