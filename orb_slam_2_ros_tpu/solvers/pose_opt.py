@@ -137,8 +137,13 @@ def pose_optimization(q0, t0, pts, obs_uv, obs_ur, octave, valid, cfg: SlamConfi
             H = jnp.where(improved, H_new, H)
             b = jnp.where(improved, b_new, b)
             lam = jnp.clip(jnp.where(improved, lam * 0.3, lam * 5.0), 1e-9, 1e6)
+            err_prev = err
             err = jnp.where(improved, err_new, err)
-            done = improved & (jnp.sum(xi * xi) < 1e-12)
+            # converged when the proposed step is tiny (accepted or not —
+            # with growing damping steps only shrink further) or the error
+            # reduction has stalled; g2o's terminate-criterion analog
+            done = ((jnp.sum(xi * xi) < 1e-10)
+                    | (improved & (err_prev - err_new < 1e-6 * err_prev)))
             return i + 1, q, t, lam, err, H, b, done
 
         _, q, t, _, _, _, _, _ = jax.lax.while_loop(
