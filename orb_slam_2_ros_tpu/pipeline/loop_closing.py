@@ -45,6 +45,20 @@ COVIS_EDGE_TH = 100       # essential-graph covisibility gate (Optimizer.cc:1073
 COVIS_EDGE_DEG = 8        # bounded covisibility degree in the pose graph
 MIN_SIM3_INLIERS = 20     # Sim3 accept gate (LoopClosing.cc:439)
 MIN_BOW_PAIRS = 20        # matches needed before trying Sim3 (:307)
+MIN_TOTAL_MATCHES = 40    # widened-projection accept (LoopClosing.cc:466)
+
+
+def _kf_as_frame(m: map_state.MapState, row):
+    """View a keyframe's feature arrays as a Frame for the matcher."""
+    from orb_slam_2_ros_tpu.frontend.extractor import Keypoints
+    from orb_slam_2_ros_tpu.frontend.frame import Frame
+    kps = Keypoints(
+        xy=m.kf_uv[row], response=jnp.zeros((m.P,)),
+        angle=m.kf_angle[row], octave=m.kf_octave[row],
+        desc=m.kf_desc[row],
+        valid=m.kf_kp_valid[row] & m.kf_valid[row])
+    return Frame(kps=kps, uv=m.kf_uv[row], u_right=m.kf_ur[row],
+                 depth=m.kf_depth[row])
 
 
 class LoopState(NamedTuple):
@@ -150,7 +164,28 @@ class LoopCloser:
             fix_scale = cfg.sensor != 0     # mono estimates scale (SENSOR_MONOCULAR)
             q12, t12, s12, inl, n_inl = sim3_solver.ransac_sim3(
                 x1, x2, pair_ok, uv1, uv2, cfg, key, fix_scale=fix_scale)
-            accepted = (n_inl >= MIN_SIM3_INLIERS) & (n_pairs >= MIN_BOW_PAIRS)
+
+            # ---- match widening: project the loop keyframe's neighborhood
+            # landmarks through the estimated Sim3 into keyframe k and count
+            # total correspondences (SearchByProjection with Scw,
+            # LoopClosing.cc:439-476: accept needs >= 40 total)
+            covis0 = map_state.covisibility(m)
+            group_kf = (covis0[c] > 0) | (jnp.arange(K) == c)
+            obs = jnp.where(group_kf[:, None] & (m.kf_mp >= 0), m.kf_mp, M)
+            group_mp = jnp.zeros((M + 1,), bool).at[obs.ravel()].set(True)[:M]
+            group_mp = group_mp & m.mp_valid
+            # S_kw = S_kc * S_cw maps world -> keyframe-k camera coords
+            S_cw = sim3.from_se3(m.kf_q[c], m.kf_t[c])
+            qkw, tkw, skw = sim3.compose(q12, t12, s12, *S_cw)
+            x_in_k = sim3.apply(qkw, tkw, skw, m.mp_pos)
+            frame_k = _kf_as_frame(m, k)
+            kp_to_mp_w, _ = matcher.search_by_projection_pose(
+                x_in_k, m.mp_desc, jnp.zeros((M,), jnp.int32), group_mp,
+                *se3.identity(), frame_k, cfg, th=8.0, check_rotation=False)
+            n_widened = jnp.sum((kp_to_mp_w >= 0).astype(jnp.int32))
+            accepted = ((n_inl >= MIN_SIM3_INLIERS)
+                        & (n_pairs >= MIN_BOW_PAIRS)
+                        & (n_widened >= MIN_TOTAL_MATCHES))
 
             # ---- corrected Sim3 pose of keyframe k: S_kw = S_kc * S_cw
             S_cw = sim3.from_se3(m.kf_q[c], m.kf_t[c])

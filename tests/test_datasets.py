@@ -1,0 +1,85 @@
+"""Dataset loader tests over synthetic fixture directories (TUM / KITTI /
+EuRoC layouts, §2.20's rosbag-playback equivalent)."""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from orb_slam_2_ros_tpu.io.datasets import (EurocMav, KittiOdometry, TumRGBD,
+                                            associate)
+
+
+def test_associate_greedy_nearest():
+    a = np.array([0.0, 1.0, 2.0, 3.0])
+    b = np.array([0.01, 1.5, 2.005, 2.995, 10.0])
+    pairs = associate(a, b, max_dt=0.02)
+    assert pairs == [(0, 0), (2, 2), (3, 3)]
+
+
+def _png(path, value, size=(32, 24), depth16=False):
+    img = np.full((size[1], size[0]), value,
+                  np.uint16 if depth16 else np.uint8)
+    cv2.imwrite(path, img)
+
+
+def test_tum_rgbd_loader(tmp_path):
+    root = str(tmp_path)
+    os.makedirs(f"{root}/rgb")
+    os.makedirs(f"{root}/depth")
+    with open(f"{root}/rgb.txt", "w") as fr, \
+            open(f"{root}/depth.txt", "w") as fd:
+        fr.write("# comment\n")
+        fd.write("# comment\n")
+        for i in range(3):
+            t = 100.0 + i * 0.033
+            _png(f"{root}/rgb/{t:.6f}.png", 50 + i)
+            _png(f"{root}/depth/{t + 0.01:.6f}.png", 5000 * (i + 1),
+                 depth16=True)
+            fr.write(f"{t:.6f} rgb/{t:.6f}.png\n")
+            fd.write(f"{t + 0.01:.6f} depth/{t + 0.01:.6f}.png\n")
+    ds = TumRGBD(root)
+    assert len(ds) == 3
+    gray, depth = ds[1]
+    assert gray.shape == (24, 32) and gray.dtype == np.float32
+    assert abs(float(gray[0, 0]) - 51.0) < 1e-6
+    # depth factor 5000: raw 10000 -> 2 m
+    assert abs(float(depth[0, 0]) - 2.0) < 1e-6
+
+
+def test_kitti_loader(tmp_path):
+    root = str(tmp_path)
+    os.makedirs(f"{root}/image_0")
+    os.makedirs(f"{root}/image_1")
+    with open(f"{root}/times.txt", "w") as f:
+        for i in range(2):
+            f.write(f"{i * 0.1:.6f}\n")
+            _png(f"{root}/image_0/{i:06d}.png", 10 + i)
+            _png(f"{root}/image_1/{i:06d}.png", 20 + i)
+    ds = KittiOdometry(root)
+    assert len(ds) == 2
+    left, right = ds[1]
+    assert abs(float(left[0, 0]) - 11.0) < 1e-6
+    assert abs(float(right[0, 0]) - 21.0) < 1e-6
+
+
+def test_euroc_loader(tmp_path):
+    root = str(tmp_path)
+    for cam in ("cam0", "cam1"):
+        os.makedirs(f"{root}/mav0/{cam}/data")
+        with open(f"{root}/mav0/{cam}/data.csv", "w") as f:
+            f.write("#timestamp [ns],filename\n")
+            for i in range(2):
+                ns = 1000000000 * (i + 1)
+                name = f"{ns}.png"
+                _png(f"{root}/mav0/{cam}/data/{name}",
+                     (30 if cam == "cam0" else 40) + i)
+                f.write(f"{ns},{name}\n")
+    ds = EurocMav(root)
+    assert len(ds) == 2
+    l, r = ds[0]
+    assert abs(float(l[0, 0]) - 30.0) < 1e-6
+    assert abs(float(r[0, 0]) - 40.0) < 1e-6
+    assert abs(ds.timestamps[0] - 1.0) < 1e-9
