@@ -5,18 +5,18 @@ Replaces the ``LocalMapping`` thread (``LocalMapping.cc``): instead of a
 cadence (after chunks that inserted keyframes — the software-pipelined
 equivalent of SURVEY.md §2.D). The step:
 
-1. local BA (``Optimizer::LocalBundleAdjustment``, ``Optimizer.cc:517-890``):
+1. new-landmark triangulation against covisible keyframes
+   (``CreateNewMapPoints``, ``LocalMapping.cc:239-500``);
+2. duplicate-landmark fusion (``SearchInNeighbors``, ``:502-582``);
+3. local BA (``Optimizer::LocalBundleAdjustment``, ``Optimizer.cc:517-890``):
    the last ``window`` keyframes are free, ALL other keyframes are fixed
    (this subsumes the reference's fixed second ring — every observer outside
    the window constrains its points), points observed by the window are free;
-2. outlier observation removal (edge chi2 gates, ``Optimizer.cc:781-860``);
-3. map-point culling (``LocalMapping::MapPointCulling``,
-   ``LocalMapping.cc:197-236``): points that are old enough but kept fewer
-   than ``min_obs_cull`` observations are invalidated;
-4. full point-stat refresh (normals/bands/descriptors + incremental pools).
-
-Triangulation of new points between keyframes (CreateNewMapPoints) lands
-with the epipolar milestone; RGB-D spawning already provides new points.
+4. outlier observation removal (edge chi2 gates, ``Optimizer.cc:781-860``);
+5. map-point culling (``LocalMapping::MapPointCulling``,
+   ``LocalMapping.cc:197-236``);
+6. redundant-keyframe culling (``KeyFrameCulling``, ``:686-767``);
+7. full point-stat refresh (normals/bands/descriptors + incremental pools).
 """
 
 from __future__ import annotations
@@ -289,27 +289,48 @@ class LocalMapper:
             # (SearchInNeighbors, LocalMapping.cc:502-582)
             m, _ = fuse_duplicates(m, cfg)
             n = m.n_kfs
-            rows = jnp.arange(K)
-            in_window = (rows >= n - window) & (rows < n) & m.kf_valid
-            cam_free = in_window & (rows > 0)
+            # compact recent-rows table: only the last W2 keyframes enter the
+            # BA edge set (the free window plus fixed recent observers —
+            # ~the reference's fixed second ring; observers older than W2
+            # anchor their points implicitly through the points' positions).
+            # Iterating the full (K, P) pool costs ~4x more per LM iteration.
+            W2 = min(2 * window, K)
+            rows_idx = n - W2 + jnp.arange(W2)
+            row_ok = (rows_idx >= 0) & m.kf_valid[jnp.clip(rows_idx, 0)]
+            rows = jnp.clip(rows_idx, 0)
+            c_uv = m.kf_uv[rows]
+            c_ur = m.kf_ur[rows]
+            c_oct = m.kf_octave[rows]
+            c_mp = jnp.where(row_ok[:, None], m.kf_mp[rows], -1)
+            c_kpv = m.kf_kp_valid[rows] & row_ok[:, None]
+            c_q = m.kf_q[rows]
+            c_t = m.kf_t[rows]
+            # free cameras: the last `window` rows of the compact table
+            w_local = W2 - window + jnp.arange(window)
+            w_ok = row_ok[w_local] & (rows_idx[w_local] > 0)
+            window_rows = jnp.where(w_ok, w_local, -1).astype(jnp.int32)
 
-            kp_valid = m.kf_kp_valid & m.kf_valid[:, None]
-            prob = ba.build_problem(m.kf_uv, m.kf_ur, m.kf_octave, m.kf_mp,
-                                    kp_valid, cfg)
             # free points = observed by at least one window keyframe
-            obs = jnp.where((in_window[:, None]) & (m.kf_mp >= 0), m.kf_mp, M)
+            in_win_row = jnp.zeros((W2,), bool).at[w_local].set(w_ok)
+            obs = jnp.where(in_win_row[:, None] & (c_mp >= 0), c_mp, M)
             mp_free = jnp.zeros((M + 1,), bool).at[obs.ravel()].set(True)[:M]
             mp_free = mp_free & m.mp_valid
 
-            q, t, pos, edge_inl = ba.bundle_adjustment(
-                m.kf_q, m.kf_t, cam_free, m.mp_pos, mp_free, prob, cfg,
+            q_c, t_c, pos, edge_inl = ba.windowed_bundle_adjustment(
+                c_q, c_t, window_rows, c_uv, c_ur, c_oct, c_mp, c_kpv,
+                m.mp_pos, mp_free, cfg,
                 phases=(cfg.solver.local_ba_iters1, cfg.solver.local_ba_iters2))
 
-            # drop outlier observations from the table
-            inl2d = edge_inl.reshape(K, P)
-            had_edge = (m.kf_mp >= 0) & kp_valid
-            kf_mp = jnp.where(had_edge & ~inl2d, -1, m.kf_mp)
-            m = m._replace(kf_q=q, kf_t=t, mp_pos=pos, kf_mp=kf_mp)
+            # write back window poses and drop outlier observations
+            scat_rows = jnp.where(row_ok, rows, K)
+            kf_q = m.kf_q.at[scat_rows].set(q_c, mode="drop")
+            kf_t = m.kf_t.at[scat_rows].set(t_c, mode="drop")
+            had_edge = (c_mp >= 0) & c_kpv
+            c_mp_new = jnp.where(had_edge & ~edge_inl, -1, c_mp)
+            kf_mp = m.kf_mp.at[scat_rows].set(
+                jnp.where(row_ok[:, None], c_mp_new, m.kf_mp[rows]),
+                mode="drop")
+            m = m._replace(kf_q=kf_q, kf_t=kf_t, mp_pos=pos, kf_mp=kf_mp)
 
             # map-point culling: old points with too few surviving
             # observations; the reference keeps mono points at >= 2

@@ -18,10 +18,11 @@ Two properties of the remote-TPU relay shape this design (measured):
    latency per step — hence predicated keyframe insertion
    (map/state.py commit_keyframe).
 
-State machine states mirror ``Tracking.h:93-99``; relocalization and loop
-closing attach via place/ (later milestones). When tracking is lost the
-chunk keeps attempting motion-model tracking from the last good pose
-(the reference would call Relocalization, ``Tracking.cc:1535``).
+State machine states mirror ``Tracking.h:93-99``. Within a chunk a lost
+frame keeps attempting motion-model tracking from the last good pose; at
+chunk boundaries the System runs relocalization against the BoW index
+(pipeline/relocalization.py ≙ ``Tracking.cc:1535``) and the loop-closing
+step (pipeline/loop_closing.py).
 """
 
 from __future__ import annotations

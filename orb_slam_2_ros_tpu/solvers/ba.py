@@ -305,3 +305,205 @@ def bundle_adjustment(q, t, cam_free, pos, mp_free, prob: BAProblem,
         chi2 = jnp.sum(e * e * comp_w, -1) * prob.inv_sigma2
         edge_mask = prob.valid & (chi2 <= delta2) & (z > _EPS)
     return q, t, pos, edge_mask
+
+
+# --------------------------------------------------------------------------
+# Dense-Schur windowed BA: the local-mapping workhorse.
+# --------------------------------------------------------------------------
+
+def windowed_bundle_adjustment(kf_q, kf_t, window_rows, kf_uv, kf_ur,
+                               kf_octave, kf_mp, kp_valid, mp_pos, mp_free,
+                               cfg: SlamConfig, phases=(5, 10)):
+    """Local BA with an explicitly materialized reduced camera system.
+
+    The matrix-free CG path (bundle_adjustment) evaluates ~4 edge-indexed
+    gather/scatter passes per CG iteration; on TPU random access runs at
+    ~0.125 elements/cycle, so at local-BA scale each LM iteration costs
+    hundreds of ms. With only W free cameras (the local window,
+    ``Optimizer.cc:517-590``), the Schur complement S is a dense
+    (6W x 6W) matrix that can be built with ONE pass: camera-side terms are
+    row-broadcasts over the (K, P) observation table (zero gathers), the
+    landmark cross-terms come from a single scatter of per-edge 6x3 blocks
+    into a (M, W, 6, 3) tensor followed by MXU einsums, and the solve is a
+    tiny dense Cholesky. Fixed cameras still constrain landmarks through
+    the point-side normal equations.
+
+    kf_q (K, 4), kf_t (K, 3): ALL keyframe poses; window_rows (W,) int32
+    rows that are free (-1 padding); kf_uv/kf_ur/kf_octave/kf_mp/kp_valid:
+    (K, P) observation table; mp_pos (M, 3); mp_free (M,).
+
+    Returns (kf_q, kf_t, mp_pos, edge_inlier (K, P) bool).
+    """
+    K, P = kf_mp.shape
+    M = mp_pos.shape[0]
+    Wn = window_rows.shape[0]
+    sc = cfg.solver
+    cam = cfg.camera
+
+    win_valid = window_rows >= 0
+    wr = jnp.clip(window_rows, 0)
+    # local window index per keyframe row (-1 = fixed); functional inverse
+    # of window_rows (scatter-free: padded -1 slots must not collide)
+    eq = (window_rows[None, :] == jnp.arange(K)[:, None]) & win_valid[None, :]
+    loc = jnp.where(eq.any(axis=1),
+                    jnp.argmax(eq, axis=1).astype(jnp.int32), -1)
+
+    mp_idx = jnp.clip(kf_mp, 0)
+    edge_valid0 = kp_valid & (kf_mp >= 0)
+    obs = jnp.concatenate([kf_uv, kf_ur[..., None]], axis=-1)   # (K, P, 3)
+    is_stereo = kf_ur > 0
+    inv_sigma2 = cfg.orb.scale_factor ** (-2.0 * kf_octave.astype(jnp.float32))
+    delta2 = jnp.where(is_stereo, sc.huber_stereo2, sc.huber_mono2)
+    delta = jnp.sqrt(delta2)
+    comp_w0 = jnp.stack([jnp.ones_like(kf_ur), jnp.ones_like(kf_ur),
+                         is_stereo.astype(jnp.float32)], -1)     # (K, P, 3)
+
+    def edge_terms(q, t, pos):
+        """Residuals/Jacobians over the (K, P) table; cameras broadcast per
+        row (no gathers on the camera side)."""
+        pw = pos[mp_idx]                                     # (K, P, 3) gather
+        xc = se3.apply(q[:, None, :], t[:, None, :], pw)
+        x, y = xc[..., 0], xc[..., 1]
+        z = jnp.maximum(xc[..., 2], _EPS)
+        iz = 1.0 / z
+        iz2 = iz * iz
+        u = cam.fx * x * iz + cam.cx
+        v = cam.fy * y * iz + cam.cy
+        ur = u - cam.bf * iz
+        e = jnp.stack([u, v, ur], axis=-1) - obs
+        du = jnp.stack([cam.fx * iz, jnp.zeros_like(z), -cam.fx * x * iz2], -1)
+        dv = jnp.stack([jnp.zeros_like(z), cam.fy * iz, -cam.fy * y * iz2], -1)
+        dur = du + jnp.stack([jnp.zeros_like(z), jnp.zeros_like(z),
+                              cam.bf * iz2], -1)
+        dpred = jnp.stack([du, dv, dur], axis=-2)            # (K, P, 3, 3)
+        zeros = jnp.zeros_like(z)
+        nskew = jnp.stack([
+            jnp.stack([zeros, xc[..., 2], -xc[..., 1]], -1),
+            jnp.stack([-xc[..., 2], zeros, xc[..., 0]], -1),
+            jnp.stack([xc[..., 1], -xc[..., 0], zeros], -1),
+        ], axis=-2)
+        eye = jnp.broadcast_to(jnp.eye(3), nskew.shape)
+        dxc = jnp.concatenate([eye, nskew], axis=-1)         # (K, P, 3, 6)
+        Jc = jnp.einsum("kpij,kpjn->kpin", dpred, dxc)
+        R = se3.quat_to_matrix(q)                            # (K, 3, 3)
+        Jp = jnp.einsum("kpij,kjn->kpin", dpred, R)
+        return e, Jc, Jp, z
+
+    def weights(e, z, edge_mask, use_kernel):
+        e2 = jnp.sum(e * e * comp_w0, axis=-1)
+        chi2 = e2 * inv_sigma2
+        if use_kernel:
+            w_rob = jnp.where(chi2 <= delta2, 1.0,
+                              delta / jnp.maximum(jnp.sqrt(chi2), _EPS))
+            rho = jnp.where(chi2 <= delta2, chi2,
+                            2 * delta * jnp.sqrt(chi2) - delta2)
+        else:
+            w_rob = jnp.ones_like(chi2)
+            rho = chi2
+        ok = edge_mask & (z > _EPS)
+        w = jnp.where(ok, inv_sigma2 * w_rob, 0.0)
+        return w[..., None] * comp_w0, jnp.sum(jnp.where(ok, rho, 0.0))
+
+    mpf = mp_free.astype(jnp.float32)[:, None]
+
+    def lm_step(q, t, pos, edge_mask, use_kernel, lam, err):
+        e, Jc, Jp, z = edge_terms(q, t, pos)
+        Wt, _ = weights(e, z, edge_mask, use_kernel)         # (K, P, 3)
+        cam_on = (loc >= 0).astype(jnp.float32)[:, None, None]  # (K,1,1)
+        Wc = Wt * cam_on                                     # cam-side weights
+
+        # camera side: per-row reductions, window rows gathered at the end
+        We = Wt * e
+        gc_k = jnp.einsum("kpin,kpi->kn", Jc, We * cam_on)   # (K, 6)
+        Hcc_k = jnp.einsum("kpin,kpi,kpim->knm", Jc, Wc, Jc)  # (K, 6, 6)
+        gc = gc_k[wr] * win_valid[:, None]
+        Hcc = Hcc_k[wr] * win_valid[:, None, None]
+
+        # point side: one flat scatter pass
+        flat_mp = jnp.where(edge_mask, kf_mp, M).ravel()
+        gp = jnp.zeros((M + 1, 3)).at[flat_mp].add(
+            jnp.einsum("kpin,kpi->kpn", Jp, We).reshape(-1, 3))[:M]
+        Hpp = jnp.zeros((M + 1, 3, 3)).at[flat_mp].add(
+            jnp.einsum("kpin,kpi,kpim->kpnm", Jp, Wt, Jp).reshape(-1, 3, 3)
+        )[:M]
+
+        # landmark-camera cross blocks -> (M, Wn, 6, 3)
+        B = jnp.einsum("kpin,kpi,kpim->kpnm", Jc, Wc, Jp)    # (K, P, 6, 3)
+        loc_e = jnp.broadcast_to(loc[:, None], (K, P)).ravel()
+        tgt_m = jnp.where((loc_e >= 0) & (flat_mp < M), flat_mp, M)
+        T = jnp.zeros((M + 1, Wn, 6, 3)).at[
+            tgt_m, jnp.clip(loc_e, 0)].add(B.reshape(-1, 6, 3))[:M]
+
+        # damped landmark inverses (fixed points excluded from Schur)
+        Hpp_d = Hpp + (lam * jnp.einsum("mii->mi", Hpp) + 1e-8)[..., None] \
+            * jnp.eye(3)
+        Hpp_inv = _inv3x3(Hpp_d) * mpf[..., None]
+
+        bp = -gp
+        bc = -gc
+        S_cross = jnp.einsum("manj,mjk,mblk->anbl", T, Hpp_inv, T)
+        dampC = lam * jnp.einsum("wii->wi", Hcc) + 1e-8
+        S = (jnp.zeros((Wn, 6, Wn, 6))
+             .at[jnp.arange(Wn), :, jnp.arange(Wn), :]
+             .add(Hcc + jnp.einsum("wi,ij->wij", dampC, jnp.eye(6)))
+             - S_cross)
+        bc_red = bc - jnp.einsum("manj,mjk,mk->an", T, Hpp_inv, bp)
+
+        # pad unused window slots with identity rows. LU solve, not
+        # Cholesky: the explicitly formed Schur complement can go slightly
+        # indefinite under f32 cancellation (Hcc - T Hpp^-1 T^T with large
+        # monocular-scale landmark terms); a NaN step is sanitized and then
+        # rejected by the LM accept test, whose growing damping restores
+        # definiteness on the retry
+        pad = ~win_valid
+        Sm = S.reshape(6 * Wn, 6 * Wn)
+        diag_pad = jnp.repeat(pad, 6)
+        Sm = Sm + jnp.diag(diag_pad.astype(jnp.float32))
+        bvec = (bc_red * win_valid[:, None]).reshape(-1)
+        xc = jnp.nan_to_num(jnp.linalg.solve(Sm, bvec),
+                            nan=0.0, posinf=0.0, neginf=0.0).reshape(Wn, 6)
+        xc = xc * win_valid[:, None]
+
+        # back-substitute landmarks: xp = Hpp_inv (bp - T^T xc)
+        tx = jnp.einsum("mwnj,wn->mj", T, xc)
+        xp = jnp.nan_to_num(jnp.einsum("mjk,mk->mj", Hpp_inv, bp - tx),
+                            nan=0.0, posinf=0.0, neginf=0.0)
+
+        # candidate update
+        dq, dt = se3.exp(xc)
+        qw_new, tw_new = se3.compose(dq, dt, q[wr], t[wr])
+        q_new = q.at[wr].set(jnp.where(win_valid[:, None], qw_new, q[wr]))
+        t_new = t.at[wr].set(jnp.where(win_valid[:, None], tw_new, t[wr]))
+        pos_new = pos + xp * mpf
+
+        e2, _, _, z2 = edge_terms(q_new, t_new, pos_new)
+        _, err_new = weights(e2, z2, edge_mask, use_kernel)
+        improved = err_new < err
+        q = jnp.where(improved, q_new, q)
+        t = jnp.where(improved, t_new, t)
+        pos = jnp.where(improved, pos_new, pos)
+        lam = jnp.clip(jnp.where(improved, lam * 0.3, lam * 5.0), 1e-10, 1e8)
+        err = jnp.where(improved, err_new, err)
+        return q, t, pos, lam, err
+
+    def lm_phase(q, t, pos, edge_mask, use_kernel, n_iters):
+        e, _, _, z = edge_terms(q, t, pos)
+        _, err0 = weights(e, z, edge_mask, use_kernel)
+
+        def body(_, carry):
+            q, t, pos, lam, err = carry
+            return lm_step(q, t, pos, edge_mask, use_kernel, lam, err)
+
+        q, t, pos, _, _ = jax.lax.fori_loop(
+            0, n_iters, body, (q, t, pos, 1e-4, err0))
+        return q, t, pos
+
+    q, t, pos = kf_q, kf_t, mp_pos
+    edge_mask = edge_valid0
+    for i, n_iters in enumerate(phases):
+        use_kernel = i == 0
+        q, t, pos = lm_phase(q, t, pos, edge_mask, use_kernel, n_iters)
+        e, _, _, z = edge_terms(q, t, pos)
+        chi2 = jnp.sum(e * e * comp_w0, -1) * inv_sigma2
+        edge_mask = edge_valid0 & (chi2 <= delta2) & (z > _EPS)
+    return q, t, pos, edge_mask

@@ -137,3 +137,40 @@ def test_ba_respects_fixed_cameras_and_points():
     np.testing.assert_array_equal(np.asarray(pos)[:50], np.asarray(pos0)[:50])
     np.testing.assert_array_equal(np.asarray(q)[0], np.asarray(q0)[0])
     np.testing.assert_array_equal(np.asarray(t)[0], np.asarray(t0)[0])
+
+
+def _problem_as_table(n_cams, n_pts, prob, cfg):
+    """Reshape the flat all-pairs test problem into the (K, P) observation
+    table windowed_bundle_adjustment consumes."""
+    P = n_pts
+    kf_uv = np.asarray(prob.obs[:, :2]).reshape(n_cams, P, 2)
+    kf_ur = np.asarray(prob.obs[:, 2]).reshape(n_cams, P)
+    kf_mp = np.tile(np.arange(P, dtype=np.int32), (n_cams, 1))
+    kp_valid = np.asarray(prob.valid).reshape(n_cams, P)
+    kf_oct = np.zeros((n_cams, P), np.int32)
+    return (jnp.asarray(kf_uv), jnp.asarray(kf_ur), jnp.asarray(kf_oct),
+            jnp.asarray(kf_mp), jnp.asarray(kp_valid))
+
+
+def test_windowed_dense_schur_matches_cg():
+    (cfg, prob, q0, t0, pos0, cam_free, q_true, t_true, pts) = \
+        make_ba_problem(n_cams=8, n_pts=150)
+    kf_uv, kf_ur, kf_oct, kf_mp, kp_valid = _problem_as_table(8, 150, prob, cfg)
+    window_rows = jnp.asarray([1, 2, 3, 4, 5, 6, 7, -1], jnp.int32)
+    mp_free = jnp.ones(pos0.shape[0], bool)
+
+    q1, t1, pos1, inl1 = ba.bundle_adjustment(
+        q0, t0, cam_free, pos0, mp_free, prob, cfg)
+    q2, t2, pos2, inl2 = ba.windowed_bundle_adjustment(
+        q0, t0, window_rows, kf_uv, kf_ur, kf_oct, kf_mp, kp_valid,
+        pos0, mp_free, cfg)
+
+    e1 = mean_pose_err(q1, t1, q_true, t_true)
+    e2 = mean_pose_err(q2, t2, q_true, t_true)
+    # both converge to the same statistical floor
+    assert e2 < max(1.5 * e1, 6e-3), (e1, e2)
+    # gauge-fixed camera untouched
+    np.testing.assert_array_equal(np.asarray(q2[0]), np.asarray(q0[0]))
+    # inlier classification agrees on the vast majority of edges
+    agree = (np.asarray(inl2).ravel() == np.asarray(inl1)).mean()
+    assert agree > 0.98, agree
