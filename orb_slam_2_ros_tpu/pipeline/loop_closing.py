@@ -164,6 +164,11 @@ class LoopCloser:
             fix_scale = cfg.sensor != 0     # mono estimates scale (SENSOR_MONOCULAR)
             q12, t12, s12, inl, n_inl = sim3_solver.ransac_sim3(
                 x1, x2, pair_ok, uv1, uv2, cfg, key, fix_scale=fix_scale)
+            # Huber-LM refinement on the RANSAC inliers (OptimizeSim3,
+            # Optimizer.cc:1177-1414); accept on the refined inlier count
+            q12, t12, s12, inl, n_inl = sim3_solver.refine_sim3_lm(
+                q12, t12, s12, x1, x2, uv1, uv2, inl, cfg,
+                fix_scale=fix_scale)
 
             # ---- match widening: project the loop keyframe's neighborhood
             # landmarks through the estimated Sim3 into keyframe k and count

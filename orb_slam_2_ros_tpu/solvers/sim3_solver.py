@@ -127,3 +127,83 @@ def _sim3_inv(q, t, s):
     si = 1.0 / jnp.maximum(s, 1e-9)
     ti = -si * se3.quat_rotate(qi, t)
     return qi, ti, si
+
+
+def refine_sim3_lm(q, t, s, x1, x2, uv1, uv2, valid, cfg: SlamConfig,
+                   fix_scale: bool = False, n_iters: int = 10,
+                   huber2: float = 10.0):
+    """Huber-robust Sim3 refinement with forward + inverse projection edges.
+
+    Replaces ``Optimizer::OptimizeSim3`` (``Optimizer.cc:1177-1414``): one
+    Sim3 vertex, per-pair ``EdgeSim3ProjectXYZ`` (project S12(x2) into
+    camera 1) and ``EdgeInverseSim3ProjectXYZ`` (project S12^-1(x1) into
+    camera 2), Huber kernel, LM with accept/reject. Jacobians are
+    forward-mode through the left-multiplicative local update
+    ``S <- exp(d) * S`` (d in sim3, scale row zeroed when fix_scale).
+
+    Returns (q, t, s, inlier_mask, n_inliers) with inliers by the same
+    chi2 gate used for pruning (``:1306-1319``).
+    """
+    from orb_slam_2_ros_tpu.geometry import sim3 as sim3_mod
+
+    def residuals(d, q, t, s):
+        q2, t2, s2 = sim3_mod.compose(*sim3_mod.exp(d), q, t, s)
+        x2_in1 = s2 * se3.quat_rotate(q2[None], x2) + t2
+        qi, ti, si = _sim3_inv(q2, t2, s2)
+        x1_in2 = si * se3.quat_rotate(qi[None], x1) + ti
+        e1 = camera.project(cfg.camera, x2_in1) - uv1
+        e2 = camera.project(cfg.camera, x1_in2) - uv2
+        return jnp.concatenate([e1, e2], axis=-1)       # (N, 4)
+
+    z7 = jnp.zeros((7,))
+    scale_mask = jnp.ones((7,)).at[6].set(0.0 if fix_scale else 1.0)
+
+    def chi2_of(e):
+        return jnp.sum(e[:, :2] ** 2, -1), jnp.sum(e[:, 2:] ** 2, -1)
+
+    def system(q, t, s, mask):
+        e = residuals(z7, q, t, s)
+        J = jax.jacfwd(residuals)(z7, q, t, s)          # (N, 4, 7)
+        c1, c2 = chi2_of(e)
+        w1 = jnp.where(c1 <= huber2, 1.0,
+                       jnp.sqrt(huber2 / jnp.maximum(c1, 1e-12)))
+        w2 = jnp.where(c2 <= huber2, 1.0,
+                       jnp.sqrt(huber2 / jnp.maximum(c2, 1e-12)))
+        w = jnp.concatenate([jnp.stack([w1, w1], -1),
+                             jnp.stack([w2, w2], -1)], -1)  # (N, 4)
+        w = w * mask[:, None]
+        H = jnp.einsum("nia,ni,nib->ab", J, w, J)
+        b = jnp.einsum("nia,ni->a", J, w * e)
+        rho1 = jnp.where(c1 <= huber2, c1,
+                         2 * jnp.sqrt(huber2 * jnp.maximum(c1, 0)) - huber2)
+        rho2 = jnp.where(c2 <= huber2, c2,
+                         2 * jnp.sqrt(huber2 * jnp.maximum(c2, 0)) - huber2)
+        err = jnp.sum(jnp.where(mask, rho1 + rho2, 0.0))
+        return H, b, err
+
+    def body(_, carry):
+        q, t, s, lam, err = carry
+        H, b, _ = system(q, t, s, valid.astype(jnp.float32))
+        H = H * scale_mask[:, None] * scale_mask[None, :] \
+            + jnp.diag(1.0 - scale_mask)
+        Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(7)
+        d = -jnp.nan_to_num(jnp.linalg.solve(Hd, b * scale_mask))
+        d = d * scale_mask
+        q2, t2, s2 = sim3_mod.compose(*sim3_mod.exp(d), q, t, s)
+        _, _, err_new = system(q2, t2, s2, valid.astype(jnp.float32))
+        improved = err_new < err
+        q = jnp.where(improved, q2, q)
+        t = jnp.where(improved, t2, t)
+        s = jnp.where(improved, s2, s)
+        lam = jnp.clip(jnp.where(improved, lam * 0.3, lam * 5.0), 1e-9, 1e6)
+        err = jnp.where(improved, err_new, err)
+        return q, t, s, lam, err
+
+    _, _, err0 = system(q, t, s, valid.astype(jnp.float32))
+    q, t, s, _, _ = jax.lax.fori_loop(
+        0, n_iters, body, (q, t, s, jnp.float32(1e-4), err0))
+
+    e = residuals(z7, q, t, s)
+    c1, c2 = chi2_of(e)
+    inl = valid & (c1 <= huber2) & (c2 <= huber2)
+    return q, t, s, inl, jnp.sum(inl.astype(jnp.int32))

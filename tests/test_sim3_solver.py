@@ -74,3 +74,33 @@ def test_ransac_sim3_respects_valid_mask():
         x1, x2, valid, uv1, uv2, cfg, jax.random.PRNGKey(1))
     assert not bool(jnp.any(inl[: n // 2]))
     assert abs(float(se_[0]) - s) < 0.02
+
+
+def test_refine_sim3_lm_improves_noisy_estimate():
+    cfg, x1, x2, uv1, uv2, q, t, s = make_sim3_problem(
+        noise=0.02, outlier_frac=0.2)
+    n = x1.shape[0]
+    qe, te, se_, inl, n_inl = sim3_solver.ransac_sim3(
+        x1, x2, jnp.ones((n,), bool), uv1, uv2, cfg, jax.random.PRNGKey(0))
+    qr, tr, sr, inl2, n2 = sim3_solver.refine_sim3_lm(
+        qe, te, se_, x1, x2, uv1, uv2, inl, cfg)
+
+    def err(qq, tt, ss):
+        d = np.asarray(tt) - np.asarray(t)
+        dq = se3.quat_mul(se3.quat_conj(qq), q)
+        rot = np.degrees(2 * np.arccos(np.clip(abs(float(dq[0])), 0, 1)))
+        return np.linalg.norm(d) + rot + abs(float(ss[0]) - s)
+
+    assert err(qr, tr, sr) <= err(qe, te, se_) * 1.05
+    assert abs(float(sr[0]) - s) < 0.02
+    assert int(n2) >= 0.5 * n
+
+
+def test_refine_sim3_fix_scale_keeps_scale():
+    cfg, x1, x2, uv1, uv2, q, t, s = make_sim3_problem(scale=1.0, noise=0.01)
+    n = x1.shape[0]
+    q0, t0, s0 = sim3_solver.horn_sim3(x1, x2, fix_scale=True)
+    qr, tr, sr, inl, n2 = sim3_solver.refine_sim3_lm(
+        q0, t0, s0, x1, x2, uv1, uv2, jnp.ones((n,), bool), cfg,
+        fix_scale=True)
+    assert abs(float(sr[0]) - 1.0) < 1e-6
