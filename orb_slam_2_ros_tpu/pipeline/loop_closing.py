@@ -20,10 +20,13 @@ heavy correction rarely):
    reference keyframes, and a full global BA
    (``RunGlobalBundleAdjustment``, ``:758-862``).
 
-Deviations (documented): the reference's guided SearchBySim3 /
-SearchByProjection(Scw) match-widening rounds and duplicate-point fusion
-are not yet applied; acceptance uses the RANSAC inlier count (>= 20, the
-reference's first gate).
+Deviations (documented): the reference's SearchBySim3 mutual match-growing
+round is not applied (the widened projection pass plays its role);
+acceptance follows the reference's ladder — >= 20 refined Sim3 inliers
+(RANSAC + Huber-LM OptimizeSim3) and >= 40 widened-projection
+correspondences (SearchByProjection with Scw). Post-acceptance duplicate
+fusion (SearchAndFuse) projects loop-side landmarks into the current
+group and replaces conflicting current-side landmarks.
 """
 
 from __future__ import annotations
@@ -164,10 +167,13 @@ class LoopCloser:
             fix_scale = cfg.sensor != 0     # mono estimates scale (SENSOR_MONOCULAR)
             q12, t12, s12, inl, n_inl = sim3_solver.ransac_sim3(
                 x1, x2, pair_ok, uv1, uv2, cfg, key, fix_scale=fix_scale)
-            # Huber-LM refinement on the RANSAC inliers (OptimizeSim3,
-            # Optimizer.cc:1177-1414); accept on the refined inlier count
+            # Huber-LM refinement over ALL correspondences (OptimizeSim3,
+            # Optimizer.cc:1177-1414 refines the full match set — the Huber
+            # kernel downweights RANSAC-rejected outliers, and matches that
+            # reproject under the refined transform can be regained);
+            # accept on the refined inlier count
             q12, t12, s12, inl, n_inl = sim3_solver.refine_sim3_lm(
-                q12, t12, s12, x1, x2, uv1, uv2, inl, cfg,
+                q12, t12, s12, x1, x2, uv1, uv2, pair_ok, cfg,
                 fix_scale=fix_scale)
 
             # ---- match widening: project the loop keyframe's neighborhood
@@ -254,6 +260,40 @@ class LoopCloser:
                 kf_q=jnp.where(accepted, q_se, m.kf_q),
                 kf_t=jnp.where(accepted, t_se, m.kf_t),
                 mp_pos=new_pos)
+
+            # ---- SearchAndFuse (LoopClosing.cc:617-642, 698-755): project
+            # the loop group's landmarks through the corrected poses into
+            # the current keyframe and its best covisible neighbors; where
+            # a keypoint already references a different landmark, the loop
+            # landmark replaces it (the reference keeps the loop-side point)
+            covis2 = map_state.covisibility(m)
+            _, fuse_targets = jax.lax.top_k(covis2[k], 4)
+            fuse_rows = jnp.concatenate([k[None], fuse_targets])
+            repl = jnp.arange(M + 1, dtype=jnp.int32)
+            loop_side = group_mp & m.mp_valid
+            for ri in range(5):
+                row = fuse_rows[ri]
+                row_on = m.kf_valid[row] & accepted
+                frame_r = _kf_as_frame(m, row)
+                kp_to_lmp, _ = matcher.search_by_projection_pose(
+                    m.mp_pos, m.mp_desc, jnp.zeros((M,), jnp.int32),
+                    loop_side & row_on, m.kf_q[row], m.kf_t[row], frame_r,
+                    cfg, th=4.0, check_rotation=False)
+                dst = m.kf_mp[row]
+                gain = (kp_to_lmp >= 0) & (dst < 0)
+                m = m._replace(kf_mp=m.kf_mp.at[row].set(
+                    jnp.where(gain, kp_to_lmp, dst)))
+                conflict = ((kp_to_lmp >= 0) & (dst >= 0)
+                            & (kp_to_lmp != dst)
+                            & ~loop_side[jnp.clip(dst, 0)])
+                repl = repl.at[jnp.where(conflict, jnp.clip(dst, 0), M)].set(
+                    jnp.where(conflict, kp_to_lmp, M))
+            repl = repl.at[M].set(M)
+            repl = repl[repl][:M]
+            replaced = repl != jnp.arange(M)
+            m = m._replace(
+                kf_mp=jnp.where(m.kf_mp >= 0, repl[jnp.clip(m.kf_mp, 0)], -1),
+                mp_valid=m.mp_valid & ~replaced)
 
             # ---- global BA (RunGlobalBundleAdjustment, LoopClosing.cc:758)
             kp_valid = m.kf_kp_valid & m.kf_valid[:, None]

@@ -95,11 +95,7 @@ def ransac_sim3(x1: jnp.ndarray, x2: jnp.ndarray, valid: jnp.ndarray,
 
     def count_inliers(q, t, s):
         # project x2 through S12 into camera 1 and x1 through S21 into cam 2
-        x2_in1 = s * se3.quat_rotate(q[None], x2) + t
-        qi, ti, si = _sim3_inv(q, t, s)
-        x1_in2 = si * se3.quat_rotate(qi[None], x1) + ti
-        p1 = camera.project(cfg.camera, x2_in1)
-        p2 = camera.project(cfg.camera, x1_in2)
+        x2_in1, x1_in2, p1, p2 = _mutual_project(q, t, s, x1, x2, cfg)
         e1 = jnp.sum((p1 - uv1) ** 2, -1)
         e2 = jnp.sum((p2 - uv2) ** 2, -1)
         inl = valid & (e1 < th2_1) & (e2 < th2_2) & (x2_in1[:, 2] > 0) & (x1_in2[:, 2] > 0)
@@ -129,6 +125,17 @@ def _sim3_inv(q, t, s):
     return qi, ti, si
 
 
+def _mutual_project(q, t, s, x1, x2, cfg):
+    """Forward/inverse Sim3 projection pair shared by RANSAC scoring and
+    the LM refinement: returns (x2_in1, x1_in2, p1, p2)."""
+    x2_in1 = s * se3.quat_rotate(q[None], x2) + t
+    qi, ti, si = _sim3_inv(q, t, s)
+    x1_in2 = si * se3.quat_rotate(qi[None], x1) + ti
+    p1 = camera.project(cfg.camera, x2_in1)
+    p2 = camera.project(cfg.camera, x1_in2)
+    return x2_in1, x1_in2, p1, p2
+
+
 def refine_sim3_lm(q, t, s, x1, x2, uv1, uv2, valid, cfg: SlamConfig,
                    fix_scale: bool = False, n_iters: int = 10,
                    huber2: float = 10.0):
@@ -148,12 +155,8 @@ def refine_sim3_lm(q, t, s, x1, x2, uv1, uv2, valid, cfg: SlamConfig,
 
     def residuals(d, q, t, s):
         q2, t2, s2 = sim3_mod.compose(*sim3_mod.exp(d), q, t, s)
-        x2_in1 = s2 * se3.quat_rotate(q2[None], x2) + t2
-        qi, ti, si = _sim3_inv(q2, t2, s2)
-        x1_in2 = si * se3.quat_rotate(qi[None], x1) + ti
-        e1 = camera.project(cfg.camera, x2_in1) - uv1
-        e2 = camera.project(cfg.camera, x1_in2) - uv2
-        return jnp.concatenate([e1, e2], axis=-1)       # (N, 4)
+        _, _, p1, p2 = _mutual_project(q2, t2, s2, x1, x2, cfg)
+        return jnp.concatenate([p1 - uv1, p2 - uv2], axis=-1)   # (N, 4)
 
     z7 = jnp.zeros((7,))
     scale_mask = jnp.ones((7,)).at[6].set(0.0 if fix_scale else 1.0)
@@ -161,7 +164,17 @@ def refine_sim3_lm(q, t, s, x1, x2, uv1, uv2, valid, cfg: SlamConfig,
     def chi2_of(e):
         return jnp.sum(e[:, :2] ** 2, -1), jnp.sum(e[:, 2:] ** 2, -1)
 
-    def system(q, t, s, mask):
+    mask = valid.astype(jnp.float32)
+
+    def robust_err(e):
+        c1, c2 = chi2_of(e)
+        rho1 = jnp.where(c1 <= huber2, c1,
+                         2 * jnp.sqrt(huber2 * jnp.maximum(c1, 0)) - huber2)
+        rho2 = jnp.where(c2 <= huber2, c2,
+                         2 * jnp.sqrt(huber2 * jnp.maximum(c2, 0)) - huber2)
+        return jnp.sum(jnp.where(valid, rho1 + rho2, 0.0))
+
+    def system(q, t, s):
         e = residuals(z7, q, t, s)
         J = jax.jacfwd(residuals)(z7, q, t, s)          # (N, 4, 7)
         c1, c2 = chi2_of(e)
@@ -174,23 +187,19 @@ def refine_sim3_lm(q, t, s, x1, x2, uv1, uv2, valid, cfg: SlamConfig,
         w = w * mask[:, None]
         H = jnp.einsum("nia,ni,nib->ab", J, w, J)
         b = jnp.einsum("nia,ni->a", J, w * e)
-        rho1 = jnp.where(c1 <= huber2, c1,
-                         2 * jnp.sqrt(huber2 * jnp.maximum(c1, 0)) - huber2)
-        rho2 = jnp.where(c2 <= huber2, c2,
-                         2 * jnp.sqrt(huber2 * jnp.maximum(c2, 0)) - huber2)
-        err = jnp.sum(jnp.where(mask, rho1 + rho2, 0.0))
-        return H, b, err
+        return H, b
 
     def body(_, carry):
         q, t, s, lam, err = carry
-        H, b, _ = system(q, t, s, valid.astype(jnp.float32))
+        H, b = system(q, t, s)
         H = H * scale_mask[:, None] * scale_mask[None, :] \
             + jnp.diag(1.0 - scale_mask)
         Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(7)
         d = -jnp.nan_to_num(jnp.linalg.solve(Hd, b * scale_mask))
         d = d * scale_mask
         q2, t2, s2 = sim3_mod.compose(*sim3_mod.exp(d), q, t, s)
-        _, _, err_new = system(q2, t2, s2, valid.astype(jnp.float32))
+        # error-only candidate evaluation (no Jacobian)
+        err_new = robust_err(residuals(z7, q2, t2, s2))
         improved = err_new < err
         q = jnp.where(improved, q2, q)
         t = jnp.where(improved, t2, t)
@@ -199,7 +208,7 @@ def refine_sim3_lm(q, t, s, x1, x2, uv1, uv2, valid, cfg: SlamConfig,
         err = jnp.where(improved, err_new, err)
         return q, t, s, lam, err
 
-    _, _, err0 = system(q, t, s, valid.astype(jnp.float32))
+    err0 = robust_err(residuals(z7, q, t, s))
     q, t, s, _, _ = jax.lax.fori_loop(
         0, n_iters, body, (q, t, s, jnp.float32(1e-4), err0))
 

@@ -207,3 +207,26 @@ def test_no_loop_without_revisit():
         m, did = lc.process(m)
         assert not did
     assert lc.n_loops_closed == 0
+
+
+def test_loop_fuses_seam_duplicates():
+    """After the loop closes, the drifted duplicate landmarks at the seam
+    must be merged into their clean counterparts (SearchAndFuse,
+    LoopClosing.cc:617-642): the last keyframe's observations should largely
+    reference first-half landmark ids."""
+    cfg = small_cfg()
+    m, gt, descs = build_looped_map(cfg)
+    voc = vocabulary.train_vocabulary(descs, cfg, seed=0)
+    lc = LoopCloser(cfg, voc, min_kfs_between_loops=6)
+    closed = False
+    for _ in range(8):
+        m, did = lc.process(m)
+        closed = closed or did
+    assert closed
+    mp_first = np.asarray(m.mp_first_kf)
+    kf_mp_last = np.asarray(m.kf_mp[N_KF - 1])
+    refs = kf_mp_last[kf_mp_last >= 0]
+    # a meaningful share of the last keyframe's landmarks now come from the
+    # clean first half (they were exclusively drifted-half before)
+    frac_clean = (mp_first[refs] < N_KF // 2).mean() if refs.size else 0.0
+    assert frac_clean > 0.3, frac_clean
