@@ -183,30 +183,81 @@ def _descriptors(blurred: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     return _pack_bits_u32(v0 < v1)
 
 
-def _extract_level(img_l: jnp.ndarray, budget: int, cfg: OrbConfig):
-    """One pyramid level -> (xy, response, angle, desc, valid), all length
-    ``budget`` (padded)."""
-    H, W = img_l.shape
-    resp_map = fast_ops.detect(
-        fast_ops.fast_score_map(img_l),
-        threshold=float(cfg.ini_th_fast), min_threshold=float(cfg.min_th_fast),
-        cell=cfg.fast_cell, border=cfg.edge_threshold,
-    )
-    # approx_max_k is the TPU-native top-k (bucketed, ~0.95 recall) — corner
-    # selection tolerates missing a few near-budget responses
-    vals, idx = jax.lax.approx_max_k(resp_map.ravel(), budget,
-                                     recall_target=0.95)
-    valid = vals > 0.0
-    y = idx // W
-    x = idx % W
+# rBRIEF sample offsets stay within +-18 px of the keypoint under any
+# rotation (max pattern radius 18.38 -> round() <= 18), and IC-angle's
+# circular patch within +-15; detection keeps keypoints >= 19 px
+# (edge_threshold) from the border, so a 37x37 patch covers both stages.
+PATCH_HALF = 18
+PATCH = 2 * PATCH_HALF + 1
 
-    angle = ic_angles_at(img_l, x, y)
 
-    blurred = quantize_u8(gaussian_blur_7x7(img_l))
-    desc = _descriptors(blurred, x, y, angle)
+@functools.lru_cache()
+def _ic_patch_kernels() -> np.ndarray:
+    """(2, PATCH, PATCH) u/v circular-moment weights, centered in the 37x37
+    extraction patch (outer ring zero — IC angle uses only the +-15 disc)."""
+    k31 = _ic_angle_kernels()[:, 0]          # (2, 31, 31)
+    pad = PATCH_HALF - HALF_PATCH
+    return np.pad(k31, ((0, 0), (pad, pad), (pad, pad)))
 
-    xy = jnp.stack([x, y], axis=-1).astype(jnp.float32)
-    return xy, vals, angle, desc, valid
+
+def _patches_at(raw: jnp.ndarray, blurred: jnp.ndarray,
+                x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """(n, 2, PATCH, PATCH) image patches centered at integer (x, y) via
+    one-hot row/col selection MATMULS on the MXU.
+
+    This replaces per-sample random gathers: the TPU's gather unit runs at
+    ~0.125 elements/cycle regardless of batching, which made rBRIEF's 512
+    samples/keypoint the single most expensive stage of the whole frame
+    (~5 ms at 1200 kps); the same selection as two one-hot matmuls streams
+    through the systolic array in tens of microseconds. Values are exact:
+    u8 pixels are integers <= 255 (exact in bf16) and each one-hot product
+    accumulates exactly one nonzero term in f32.
+    """
+    H, W = raw.shape
+    d = jnp.arange(-PATCH_HALF, PATCH_HALF + 1, dtype=jnp.int32)
+    rows = y[:, None] + d                           # (n, PATCH)
+    cols = x[:, None] + d                           # (n, PATCH)
+    oh_r = (rows[:, :, None] ==
+            jnp.arange(H, dtype=jnp.int32)[None, None, :]).astype(jnp.bfloat16)
+    oh_c = (jnp.arange(W, dtype=jnp.int32)[None, :, None] ==
+            cols[:, None, :]).astype(jnp.bfloat16)
+    img2 = jnp.stack([raw, blurred]).astype(jnp.bfloat16)   # (2, H, W)
+    strips = jnp.einsum("krh,chw->kcrw", oh_r, img2,
+                        preferred_element_type=jnp.float32)  # (n, 2, P, W)
+    patches = jnp.einsum("kcrw,kwp->kcrp", strips.astype(jnp.bfloat16), oh_c,
+                         preferred_element_type=jnp.float32)
+    return patches
+
+
+def _ic_angles_from_patches(patch_raw: jnp.ndarray) -> jnp.ndarray:
+    """IC angle per keypoint from its raw patch — same circular moments as
+    IC_Angle (``ORBextractor.cc:77-104``), as two weighted patch sums."""
+    k = jnp.asarray(_ic_patch_kernels())            # (2, P, P)
+    m = jnp.einsum("kij,cij->kc", patch_raw, k)     # (n, 2) -> m10, m01
+    return jnp.arctan2(m[:, 1], m[:, 0])
+
+
+def _descriptors_from_patches(patch_blur: jnp.ndarray,
+                              angle: jnp.ndarray) -> jnp.ndarray:
+    """Rotated rBRIEF from blurred patches (computeOrbDescriptor,
+    ``ORBextractor.cc:108-147``): the rotated in-patch sample is selected by
+    a one-hot row matmul + one-hot column reduce — no gathers."""
+    n = patch_blur.shape[0]
+    pat = jnp.asarray(_brief_pattern().astype(np.float32))   # (512, 2)
+    a = jnp.cos(angle)[:, None]
+    b = jnp.sin(angle)[:, None]
+    px, py = pat[:, 0][None, :], pat[:, 1][None, :]
+    sx = jnp.round(px * a - py * b).astype(jnp.int32) + PATCH_HALF  # (n, 512)
+    sy = jnp.round(px * b + py * a).astype(jnp.int32) + PATCH_HALF
+    grid = jnp.arange(PATCH, dtype=jnp.int32)
+    oh_y = (sy[:, :, None] == grid[None, None, :]).astype(jnp.bfloat16)
+    t = jnp.einsum("ksr,krc->ksc", oh_y, patch_blur.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)       # (n, 512, P)
+    oh_x = (sx[:, :, None] == grid[None, None, :]).astype(jnp.float32)
+    vals = jnp.sum(t * oh_x, axis=-1)                        # (n, 512)
+    v0 = vals[:, 0::2]
+    v1 = vals[:, 1::2]
+    return _pack_bits_u32(v0 < v1)
 
 
 def extract(img: jnp.ndarray, cfg: OrbConfig) -> Keypoints:
@@ -219,62 +270,20 @@ def extract(img: jnp.ndarray, cfg: OrbConfig) -> Keypoints:
     return kps
 
 
-def _ic_angles_flat(P0f, P1f, off, W_lvl, x, y):
-    """IC angles over a flattened pyramid: per-keypoint level base offset
-    ``off`` and level width ``W_lvl``. Same math as ic_angles_at but one
-    gather pass for ALL levels' keypoints (TPU gathers are launch-bound:
-    8 small per-level gathers cost far more than one batched one)."""
-    um = umax_table()
-    total = P0f.shape[0]
-    xf = x.astype(jnp.float32)
-    m10 = jnp.zeros(x.shape, jnp.float32)
-    m01 = jnp.zeros(x.shape, jnp.float32)
-    for v in range(-HALF_PATCH, HALF_PATCH + 1):
-        d = um[abs(v)]
-        base = off + (y + v) * W_lvl
-        hi = jnp.clip(base + x + d, 0, total - 1)
-        lo = jnp.clip(base + x - d - 1, 0, total - 1)
-        s0 = P0f[hi] - P0f[lo]
-        s1 = P1f[hi] - P1f[lo]
-        m10 = m10 + (s1 - xf * s0)
-        m01 = m01 + float(v) * s0
-    return jnp.arctan2(m01, m10)
-
-
-def _descriptors_flat(blur_flat, off, W_lvl, H_lvl, x, y, angle):
-    """Rotated rBRIEF over a flattened blurred pyramid (one gather pass)."""
-    total = blur_flat.shape[0]
-    pat = jnp.asarray(_brief_pattern().astype(np.float32))
-    a = jnp.cos(angle)[:, None]
-    b = jnp.sin(angle)[:, None]
-    px, py = pat[:, 0][None, :], pat[:, 1][None, :]
-    sx = jnp.round(px * a - py * b).astype(jnp.int32) + x[:, None]
-    sy = jnp.round(px * b + py * a).astype(jnp.int32) + y[:, None]
-    sx = jnp.clip(sx, 0, W_lvl[:, None] - 1)
-    sy = jnp.clip(sy, 0, H_lvl[:, None] - 1)
-    idx = jnp.clip(off[:, None] + sy * W_lvl[:, None] + sx, 0, total - 1)
-    vals = blur_flat[idx]                                    # (N, 512)
-    v0 = vals[:, 0::2]
-    v1 = vals[:, 1::2]
-    return _pack_bits_u32(v0 < v1)
-
-
 def extract_with_pyramid(img: jnp.ndarray, cfg: OrbConfig):
     """extract() that also returns the unblurred pyramid level images
     (needed by the stereo SAD refinement, frontend/stereo.py).
 
     Structure: detection (whole-image ops, XLA-fused) runs per level; the
-    per-keypoint gather stages (IC angle, rBRIEF) run ONCE over a flattened
-    pyramid for all levels' keypoints together."""
+    per-keypoint stages (IC angle, rBRIEF) read one 37x37 patch per keypoint
+    extracted by one-hot matmuls (_patches_at) — the gather-free MXU path."""
     budgets = level_budgets(cfg)
     H, W = img.shape
     img = quantize_u8(img)
 
-    xs_l, ys_l, rs, octs, valids, offs, ws, hs = [], [], [], [], [], [], [], []
+    xs_l, ys_l, rs, octs, valids, angles, descs = [], [], [], [], [], [], []
     pyramid = []
-    p0s, p1s, blurs = [], [], []
     level_img = img
-    offset = 0
     for lvl in range(cfg.n_levels):
         if lvl > 0:
             scale = cfg.scale_factor ** lvl
@@ -298,31 +307,20 @@ def extract_with_pyramid(img: jnp.ndarray, cfg: OrbConfig):
         rs.append(vals)
         valids.append(vals > 0.0)
         octs.append(jnp.full((n_l,), lvl, jnp.int32))
-        offs.append(jnp.full((n_l,), offset, jnp.int32))
-        ws.append(jnp.full((n_l,), Wl, jnp.int32))
-        hs.append(jnp.full((n_l,), Hl, jnp.int32))
 
-        col = jax.lax.broadcasted_iota(jnp.float32, (Hl, Wl), 1)
-        p0s.append(jnp.cumsum(level_img, axis=1).ravel())
-        p1s.append(jnp.cumsum(level_img * col, axis=1).ravel())
-        blurs.append(quantize_u8(gaussian_blur_7x7(level_img)).ravel())
-        offset += Hl * Wl
+        blurred = quantize_u8(gaussian_blur_7x7(level_img))
+        patches = _patches_at(level_img, blurred, x, y)
+        angle_l = _ic_angles_from_patches(patches[:, 0])
+        angles.append(angle_l)
+        descs.append(_descriptors_from_patches(patches[:, 1], angle_l))
 
     x = jnp.concatenate(xs_l)
     y = jnp.concatenate(ys_l)
-    off = jnp.concatenate(offs)
-    W_lvl = jnp.concatenate(ws)
-    H_lvl = jnp.concatenate(hs)
     response = jnp.concatenate(rs)
     octave = jnp.concatenate(octs)
     valid = jnp.concatenate(valids)
-
-    P0f = jnp.concatenate(p0s)
-    P1f = jnp.concatenate(p1s)
-    blur_flat = jnp.concatenate(blurs)
-
-    angle = _ic_angles_flat(P0f, P1f, off, W_lvl, x, y)
-    desc = _descriptors_flat(blur_flat, off, W_lvl, H_lvl, x, y, angle)
+    angle = jnp.concatenate(angles)
+    desc = jnp.concatenate(descs)
 
     scale_per = jnp.asarray([cfg.scale_factor ** l
                              for l in range(cfg.n_levels)], jnp.float32)

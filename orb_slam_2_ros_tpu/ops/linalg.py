@@ -38,6 +38,48 @@ def min_eigvec(G: jnp.ndarray, v0: jnp.ndarray = None, iters: int = 4,
     return v
 
 
+def solve_spd_unrolled(H: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve H x = b for small SPD H (n <= ~8) with a fully unrolled
+    Cholesky factorization + triangular solves.
+
+    ``jnp.linalg.solve`` lowers to pivoted LU whose sequential control flow
+    costs tens of microseconds per call on TPU — ruinous inside the pose LM
+    loop (g2o's dense 6x6 solve equivalent, ``Optimizer.cc:272``). Unrolling
+    at trace time turns the factorization into ~n^3/3 fused scalar ops with
+    no loops, which XLA schedules in nanoseconds-per-element vector code.
+    """
+    n = H.shape[-1]
+    eps = jnp.asarray(1e-12, H.dtype)
+    # Cholesky: L (lower) with H = L L^T, row-major unrolled
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        s = H[..., i, i]
+        for k in range(i):
+            s = s - L[i][k] * L[i][k]
+        L[i][i] = jnp.sqrt(jnp.maximum(s, eps))
+        inv_d = 1.0 / L[i][i]
+        for j in range(i + 1, n):
+            s = H[..., j, i]
+            for k in range(i):
+                s = s - L[j][k] * L[i][k]
+            L[j][i] = s * inv_d
+    # forward solve L y = b
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # back solve L^T x = y
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
 def null_vector(A: jnp.ndarray, iters: int = 4) -> jnp.ndarray:
     """Most-null right-singular vector of A (rows x d), f32-TPU-safe."""
     _, _, Vt = jnp.linalg.svd(A, full_matrices=False)

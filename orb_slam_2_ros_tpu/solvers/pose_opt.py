@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from orb_slam_2_ros_tpu.config import SlamConfig
 from orb_slam_2_ros_tpu.geometry import se3
+from orb_slam_2_ros_tpu.ops.linalg import solve_spd_unrolled
 
 _EPS = 1e-9
 
@@ -44,23 +45,22 @@ def _residual_jacobian(q, t, pts, obs, cfg: SlamConfig):
     pred = jnp.stack([u, v, ur], axis=-1)
     e = pred - obs
 
-    # d(pred)/d(xc)
-    du = jnp.stack([cam.fx * iz, jnp.zeros_like(z), -cam.fx * x * iz2], -1)
-    dv = jnp.stack([jnp.zeros_like(z), cam.fy * iz, -cam.fy * y * iz2], -1)
-    dur = du + jnp.stack([jnp.zeros_like(z), jnp.zeros_like(z), cam.bf * iz2], -1)
-    dpred_dxc = jnp.stack([du, dv, dur], axis=1)    # (M, 3, 3)
-
-    # d(xc)/d(xi) = [I | -[xc]x] for xi = [rho, phi]
-    zeros = jnp.zeros_like(z)
-    skew = jnp.stack([
-        jnp.stack([zeros, xc[:, 2], -xc[:, 1]], -1),
-        jnp.stack([-xc[:, 2], zeros, xc[:, 0]], -1),
-        jnp.stack([xc[:, 1], -xc[:, 0], zeros], -1),
-    ], axis=1)                                      # (M, 3, 3) = -[xc]x
-    eye = jnp.broadcast_to(jnp.eye(3), skew.shape)
-    dxc_dxi = jnp.concatenate([eye, skew], axis=-1)  # (M, 3, 6)
-
-    J = jnp.einsum("mij,mjk->mik", dpred_dxc, dxc_dxi)
+    # J = d(pred)/d(xi) for xi = [rho, phi] (left-multiplied update), fully
+    # hand-expanded: d(pred)/dxc rows chained with dxc/dxi = [I | -[xc]x].
+    # Scalar formulas (no batched 3x3 einsum / stack pipeline) trace to one
+    # fused elementwise kernel — the LM body is op-dispatch-bound on TPU,
+    # not FLOP-bound, at M ~ 1.5k edges.
+    A = cam.fx * iz                 # du/dx
+    B = -cam.fx * x * iz2           # du/dz
+    C = cam.fy * iz                 # dv/dy
+    D = -cam.fy * y * iz2           # dv/dz
+    F = B + cam.bf * iz2            # dur/dz
+    zros = jnp.zeros_like(z)
+    J = jnp.stack([
+        jnp.stack([A, zros, B, B * y, A * z - B * x, -A * y], -1),
+        jnp.stack([zros, C, D, -C * z + D * y, -D * x, C * x], -1),
+        jnp.stack([A, zros, F, F * y, A * z - F * x, -A * y], -1),
+    ], axis=1)                                      # (M, 3, 6)
     return e, J, z
 
 
@@ -99,8 +99,13 @@ def pose_optimization(q0, t0, pts, obs_uv, obs_ur, octave, valid, cfg: SlamConfi
             w_rob = jnp.ones_like(chi2)
         w = jnp.where(edge_mask & (z > _EPS), inv_sigma2 * w_rob, 0.0)
         Wc = comp_w * w[:, None]
-        H = jnp.einsum("mik,mi,mij->kj", J, Wc, J)
-        b = jnp.einsum("mik,mi->k", J, e * Wc)
+        # one (7 x 3M)@(3M x 7) matmul yields H (6x6) and b (6,) together:
+        # S = [J | e] row-augmented, G = S^T W S
+        S = jnp.concatenate([J, e[:, :, None]], axis=-1).reshape(-1, 7)
+        Sw = S * Wc.reshape(-1, 1)
+        G = Sw.T @ S
+        H = G[:6, :6]
+        b = G[:6, 6]
         # robust total error (Huber rho) for LM step accept/reject
         if use_kernel:
             rho = jnp.where(chi2 <= delta2, chi2,
@@ -126,7 +131,7 @@ def pose_optimization(q0, t0, pts, obs_uv, obs_ur, octave, valid, cfg: SlamConfi
             i, q, t, lam, err, H, b, done = carry
             # Marquardt damping: dimensionless lambda scales diag(H)
             Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
-            xi = -jnp.linalg.solve(Hd, b)
+            xi = -solve_spd_unrolled(Hd, b)
             dq, dt = se3.exp(xi)
             q_new, t_new = se3.compose(dq, dt, q, t)
             H_new, b_new, err_new = weighted_system(q_new, t_new, edge_mask,
@@ -140,10 +145,18 @@ def pose_optimization(q0, t0, pts, obs_uv, obs_ur, octave, valid, cfg: SlamConfi
             err_prev = err
             err = jnp.where(improved, err_new, err)
             # converged when the proposed step is tiny (accepted or not —
-            # with growing damping steps only shrink further) or the error
-            # reduction has stalled; g2o's terminate-criterion analog
-            done = ((jnp.sum(xi * xi) < 1e-10)
-                    | (improved & (err_prev - err_new < 1e-6 * err_prev)))
+            # with growing damping steps only shrink further), the error
+            # reduction has stalled, or damping has blown up after repeated
+            # rejections. Thresholds are set by required precision, not
+            # machine eps: a |xi| ~ 1e-4 pose step moves reprojections by
+            # ~fx * 1e-4 ~ 0.05 px — an order of magnitude below both the
+            # 1 px measurement noise and the chi2 gates — so iterating past
+            # it buys nothing (g2o runs all 10 iterations regardless; each
+            # iteration here costs ~59 us of device time, measured, and the
+            # exit cuts the typical tracked-frame count from 40 to ~5).
+            done = ((jnp.sum(xi * xi) < 1e-8)
+                    | (improved & (err_prev - err_new < 1e-5 * err_prev))
+                    | (~improved & (lam > 1e3)))
             return i + 1, q, t, lam, err, H, b, done
 
         _, q, t, _, _, _, _, _ = jax.lax.while_loop(

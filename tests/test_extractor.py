@@ -194,6 +194,25 @@ def test_extract_descriptor_parity_with_opencv():
     assert total_bits_diff / n_cmp < 8.0, total_bits_diff / n_cmp
 
 
+def test_patch_matmul_path_equals_gather_oracle():
+    """The production gather-free path (one-hot matmul patches -> in-patch
+    IC angle + rBRIEF) must reproduce the direct gather implementations
+    bit-exactly: both read identical integral pixel values."""
+    img = jnp.asarray(IMG, jnp.float32)
+    blurred = quantize_u8(gaussian_blur_7x7(img))
+    n = 64
+    xs = jnp.asarray(RNG.integers(19, IMG.shape[1] - 19, n), jnp.int32)
+    ys = jnp.asarray(RNG.integers(19, IMG.shape[0] - 19, n), jnp.int32)
+    patches = extractor._patches_at(img, blurred, xs, ys)
+    angle = extractor._ic_angles_from_patches(patches[:, 0])
+    angle_ref = extractor.ic_angles_at(img, xs, ys)
+    np.testing.assert_allclose(np.asarray(angle), np.asarray(angle_ref),
+                               rtol=0, atol=1e-5)
+    desc = extractor._descriptors_from_patches(patches[:, 1], angle)
+    desc_ref = extractor._descriptors(blurred, xs, ys, angle)
+    np.testing.assert_array_equal(np.asarray(desc), np.asarray(desc_ref))
+
+
 def test_level_budgets():
     cfg = OrbConfig(n_features=1200, n_levels=8)
     b = extractor.level_budgets(cfg)
