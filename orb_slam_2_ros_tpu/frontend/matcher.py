@@ -281,6 +281,33 @@ def search_by_node(desc_q: jnp.ndarray, node_q: jnp.ndarray, valid_q: jnp.ndarra
     return resolve_conflicts(best_idx, best_d, accept, desc_t.shape[0])
 
 
+def search_reference_kf(ref_desc: jnp.ndarray, ref_valid: jnp.ndarray,
+                        ref_angle: jnp.ndarray, frame: Frame, cfg: SlamConfig):
+    """Reference-keyframe matching for TrackReferenceKeyFrame
+    (``SearchByBoW(KF, F)``, ``ORBmatcher.cc:160-289``; called from
+    ``Tracking.cc:839-868`` with nn_ratio 0.7 + rotation check).
+
+    The reference gates candidate pairs to those sharing a vocabulary node —
+    a CPU pruning accelerator that only ever REMOVES candidates, never adds
+    them. On TPU the full masked Hamming matrix is one MXU matmul, so the
+    idiomatic equivalent drops the node gate and searches all pairs
+    (documented deviation: strictly wider candidate set, same accept gates:
+    TH_LOW, best < 0.7 * second-best, rotation histogram).
+
+    Returns (kp_to_ref (max_kps,) int32, kp_dist)."""
+    m = cfg.matcher
+    mask = ref_valid[:, None] & frame.valid[None, :]
+    D = hamming_matrix(ref_desc, frame.desc)
+    best_idx, best_d, _, second_d = best_two(D, mask)
+    accept = ((best_d <= m.th_low)
+              & (best_d.astype(jnp.float32)
+                 < m.nn_ratio_bow * second_d.astype(jnp.float32))
+              & ref_valid)
+    rot = jnp.degrees(ref_angle - frame.kps.angle[best_idx])
+    accept = rotation_consistency(rot, accept)
+    return resolve_conflicts(best_idx, best_d, accept, frame.desc.shape[0])
+
+
 def search_for_initialization(f_ref: Frame, f_cur: Frame, cfg: SlamConfig,
                               window: float = 100.0, nn_ratio: float = 0.9):
     """Windowed level-0 matching for monocular initialization

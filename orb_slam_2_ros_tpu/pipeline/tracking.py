@@ -111,7 +111,8 @@ class Tracker:
         P = cfg.orb.max_kps
         tc = cfg.tracking
 
-        def _track_core(m, frame, q_pred, t_pred, last_mp, last_oct, last_angle):
+        def _track_core(m, frame, q_pred, t_pred, q_last, t_last,
+                        last_mp, last_oct, last_angle):
             """Two-stage matching + pose LM (TrackWithMotionModel +
             TrackLocalMap, Tracking.cc:971-1093)."""
             has_last = last_mp >= 0
@@ -124,8 +125,32 @@ class Tracker:
                 widen_below=tc.min_matches_motion)
             kp_mp1 = jnp.where(kp_to_src >= 0,
                                last_mp[jnp.clip(kp_to_src, 0)], -1)
+
+            # TrackReferenceKeyFrame fallback (Tracking.cc:328-339, :839-868):
+            # when motion-model matching stays short even after the widened
+            # window, re-associate against the newest keyframe's map points
+            # by descriptor (matcher.search_reference_kf) and optimize from
+            # the LAST pose instead of the constant-velocity prediction.
+            # Predicated dataflow: both branches computed, one selected.
+            r = jnp.maximum(m.n_kfs - 1, 0)
+            ref_mp = m.kf_mp[r]
+            ref_ok = (m.kf_kp_valid[r] & (ref_mp >= 0)
+                      & m.mp_valid[jnp.clip(ref_mp, 0)] & (m.n_kfs > 0))
+            kp_to_ref, _ = matcher.search_reference_kf(
+                m.kf_desc[r], ref_ok, m.kf_angle[r], frame, cfg)
+            kp_mp_ref = jnp.where(kp_to_ref >= 0,
+                                  ref_mp[jnp.clip(kp_to_ref, 0)], -1)
+            n_mot = jnp.sum((kp_mp1 >= 0).astype(jnp.int32))
+            n_ref = jnp.sum((kp_mp_ref >= 0).astype(jnp.int32))
+            use_ref = ((n_mot < tc.min_matches_motion)
+                       & (n_ref >= tc.min_matches_reference)
+                       & (n_ref > n_mot))
+            kp_mp1 = jnp.where(use_ref, kp_mp_ref, kp_mp1)
+            q_start = jnp.where(use_ref, q_last, q_pred)
+            t_start = jnp.where(use_ref, t_last, t_pred)
+
             q1, t1, inl1, n1 = pose_optimization(
-                q_pred, t_pred, m.mp_pos[jnp.clip(kp_mp1, 0)], frame.uv,
+                q_start, t_start, m.mp_pos[jnp.clip(kp_mp1, 0)], frame.uv,
                 frame.u_right, frame.kps.octave, kp_mp1 >= 0, cfg)
             kp_mp1 = jnp.where(inl1, kp_mp1, -1)
 
@@ -170,8 +195,8 @@ class Tracker:
             q_pred, t_pred = se3.compose(carry.vel_q, carry.vel_t,
                                          carry.q, carry.t)
             q2, t2, kp_mp, n1, n2, nct, ncf = _track_core(
-                m, frame, q_pred, t_pred, carry.last_mp, carry.last_oct,
-                carry.last_angle)
+                m, frame, q_pred, t_pred, carry.q, carry.t,
+                carry.last_mp, carry.last_oct, carry.last_angle)
             good = ((n2 >= tc.min_inliers_local_map) & active
                     & carry.initialized)
 

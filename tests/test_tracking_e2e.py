@@ -39,6 +39,37 @@ def test_rgbd_tracking_synthetic():
     assert int(tr.map.n_mps) > 300
 
 
+def test_reference_kf_fallback_recovers_bad_motion_model():
+    """TrackReferenceKeyFrame analog (Tracking.cc:328-339): corrupt the
+    motion model so the constant-velocity prediction (and its 2x-widened
+    retry) fails; the descriptor re-association against the newest keyframe
+    must still track the frame."""
+    import jax.numpy as jnp
+    from orb_slam_2_ros_tpu.geometry import se3
+    cfg = small_cfg()
+    ds = SyntheticRGBD(cfg, n_frames=10, seed=0)
+    tr = Tracker(cfg)
+    for i in range(8):
+        gray, depth = ds[i]
+        tr.process(gray, depth, ds.timestamps[i])
+    # inject a wildly wrong velocity: prediction lands far off-frame
+    bad_q = se3.quat_exp(jnp.asarray([0.0, 0.8, 0.0]))
+    tr.carry = tr.carry._replace(vel_q=bad_q, vel_t=jnp.asarray([1.0, 0.5, -0.8]))
+    gray, depth = ds[8]
+    rec = tr.process(gray, depth, ds.timestamps[8])
+    assert rec.state == OK, "reference-KF fallback failed to recover"
+    assert rec.n_inliers > 30
+    gray, depth = ds[9]
+    rec = tr.process(gray, depth, ds.timestamps[9])
+    assert rec.state == OK
+    # the recovered trajectory must stay globally consistent (estimates live
+    # in the map's gauge, so compare via aligned ATE, not raw positions)
+    est = np.stack([r.c_w for r in tr.records])
+    gt = np.stack([ds.gt_pose_wc(i)[1] for i in range(10)])
+    ate = trajectory.ate_rmse(est, gt)
+    assert ate < 0.03, f"ATE {ate:.4f} m after fallback recovery"
+
+
 def test_trajectory_io_roundtrip(tmp_path):
     rng = np.random.default_rng(0)
     poses = []
