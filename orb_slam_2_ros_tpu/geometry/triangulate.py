@@ -12,10 +12,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from orb_slam_2_ros_tpu.geometry import se3
+from orb_slam_2_ros_tpu.ops.linalg import f32_matmul
 
 _EPS = 1e-9
 
 
+@f32_matmul
 def triangulate_dlt(P1: jnp.ndarray, P2: jnp.ndarray,
                     xy1: jnp.ndarray, xy2: jnp.ndarray) -> jnp.ndarray:
     """DLT triangulation. P1, P2: (..., 3, 4) projection matrices (K [R|t] or
@@ -40,6 +42,7 @@ def triangulate_dlt(P1: jnp.ndarray, P2: jnp.ndarray,
     return X[..., :3] / jnp.where(jnp.abs(w) < _EPS, jnp.sign(w) * _EPS + _EPS, w)
 
 
+@f32_matmul
 def projection_matrix(K: jnp.ndarray, q: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """K @ [R | t] for world-to-camera (q, t); shapes broadcast."""
     R = se3.quat_to_matrix(q)

@@ -197,16 +197,70 @@ def observation_count(state: MapState) -> jnp.ndarray:
     return cnt[:state.M]
 
 
+NOBS_DESC = 8   # newest observations considered per point when selecting the
+                # representative descriptor (MapPoint.cc:288-361 uses all)
+
+
+def _distinctive_descriptors(flat_mp: jnp.ndarray, ok: jnp.ndarray,
+                             desc_flat: jnp.ndarray, M: int) -> jnp.ndarray:
+    """Per map point, the observation descriptor with minimum median Hamming
+    distance to that point's other observations
+    (``MapPoint::ComputeDistinctiveDescriptors``, ``MapPoint.cc:288-361``),
+    batched over the whole pool: group observations by point via one lexsort,
+    keep the newest NOBS_DESC per point, and reduce the (NOBS x NOBS)
+    pairwise-Hamming block per point on the VPU.
+
+    flat_mp (KP,) observation -> point id; ok (KP,) validity;
+    desc_flat (KP, 8) uint32. Returns (M, 8) uint32 (zeros where no obs).
+    """
+    from orb_slam_2_ros_tpu.ops.hamming import popcount_u32
+    KP = flat_mp.shape[0]
+    NOBS = NOBS_DESC
+    key = jnp.where(ok, flat_mp, M)
+    idx = jnp.arange(KP, dtype=jnp.int32)
+    # sort by point id, newest observation (largest flat index) first
+    order = jnp.lexsort((-idx, key))
+    sorted_mp = key[order]
+    first = jnp.searchsorted(sorted_mp, sorted_mp, side="left")
+    rank = idx - first.astype(jnp.int32)
+    in_cap = (rank < NOBS) & (sorted_mp < M)
+    tgt_row = jnp.where(in_cap, sorted_mp, M)
+    obs_tbl = jnp.full((M + 1, NOBS), KP, jnp.int32).at[
+        tgt_row, jnp.clip(rank, 0, NOBS - 1)].set(
+        jnp.where(in_cap, order, KP))[:M]                  # (M, NOBS)
+    have = obs_tbl < KP
+    desc_pad = jnp.concatenate(
+        [desc_flat, jnp.zeros((1, 8), desc_flat.dtype)], axis=0)
+    d = desc_pad[jnp.clip(obs_tbl, 0, KP)]                 # (M, NOBS, 8)
+    ham = jnp.sum(popcount_u32(d[:, :, None, :] ^ d[:, None, :, :]),
+                  axis=-1)                                 # (M, NOBS, NOBS)
+    big = jnp.int32(1 << 10)
+    ham = jnp.where((have[:, :, None] & have[:, None, :]), ham, big)
+    # median over each candidate's distances to the valid observations
+    # (self-distance 0 included, matching the reference's vDists)
+    sortd = jnp.sort(ham, axis=-1)
+    nv = jnp.sum(have.astype(jnp.int32), axis=-1)          # (M,)
+    med_idx = jnp.clip((nv - 1) // 2, 0, NOBS - 1)
+    med = jnp.take_along_axis(sortd, med_idx[:, None, None],
+                              axis=-1)[..., 0]             # (M, NOBS)
+    med = jnp.where(have, med, big)
+    best = jnp.argmin(med, axis=-1)                        # (M,)
+    return jnp.take_along_axis(d, best[:, None, None],
+                               axis=1)[:, 0]               # (M, 8)
+
+
 def refresh_point_stats(state: MapState, cfg: SlamConfig) -> MapState:
     """Recompute viewing normals, scale-invariance bands, and representative
     descriptors for ALL map points in one pass over the observation table
     (``MapPoint::UpdateNormalAndDepth`` ``MapPoint.cc:388-452``,
     ``ComputeDistinctiveDescriptors`` ``MapPoint.cc:288-361``).
 
-    Descriptor policy: the reference keeps the observation with minimum
-    median Hamming distance to the others; as a batched stand-in we keep the
-    descriptor of the most recent observation (newest keyframe), which tracks
-    appearance drift. Documented deviation.
+    Descriptor policy matches the reference: among a point's observations,
+    keep the descriptor with minimum median Hamming distance to the others
+    (``MapPoint.cc:288-361``), evaluated over the newest ``NOBS_DESC``
+    observations per point (static cap; the reference uses all — newest-first
+    keeps the selection tracking appearance drift). Between refreshes,
+    ``commit_keyframe`` installs the newest observation incrementally.
     """
     K, P, M = state.K, state.P, state.M
     obs_mp = jnp.where(state.kf_valid[:, None], state.kf_mp, -1)   # (K, P)
@@ -241,9 +295,7 @@ def refresh_point_stats(state: MapState, cfg: SlamConfig) -> MapState:
     max_d = dist_new * sf
     min_d = max_d / (cfg.orb.scale_factor ** (cfg.orb.n_levels - 1))
     desc_flat = state.kf_desc.reshape(-1, 8)
-    tgt_new = jnp.where(is_newest, flat_mp, M)
-    desc = jnp.zeros((M + 1, 8), jnp.uint32).at[tgt_new].max(
-        jnp.where(is_newest[:, None], desc_flat, 0))[:M]
+    desc = _distinctive_descriptors(flat_mp, ok, desc_flat, M)
     keep = state.mp_valid & has_obs
     cnt = jnp.zeros((M + 1,), jnp.int32).at[tgt].add(ok.astype(jnp.int32))[:M]
     return state._replace(

@@ -11,10 +11,30 @@ both CPU and TPU. Used by the H/F initializer (SURVEY.md §2.8), EPnP
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 
+def f32_matmul(fn):
+    """Trace ``fn`` under float32 matmul precision.
+
+    TPU matmuls default to bf16 operand precision; its 8-bit mantissa wipes
+    out the near-null-space signal of the small Gram/DLT systems the
+    closed-form solvers build (measured: EPnP minimal-set translation error
+    6 cm with default precision vs micrometres with f32 — the null vector
+    lives ~1e-12 below the dominant eigenvalue, far beneath bf16 roundoff).
+    These systems are tiny (<= 12x12), so full-f32 MXU passes cost nothing.
+    """
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+    return wrapped
+
+
+@f32_matmul
 def min_eigvec(G: jnp.ndarray, v0: jnp.ndarray = None, iters: int = 4,
                eps_scale: float = 1e-4) -> jnp.ndarray:
     """Eigenvector of the smallest eigenvalue of symmetric PSD G, polished
@@ -24,18 +44,60 @@ def min_eigvec(G: jnp.ndarray, v0: jnp.ndarray = None, iters: int = 4,
     round slightly negative) so the Cholesky stays PD; inverse iteration
     converges to the smallest eigen-direction for any eps well below the
     next eigenvalue (gain ~ lambda_2 / eps per step).
+
+    The solves use the UNROLLED Cholesky (solve_spd_unrolled), never XLA's
+    TriangularSolve: on TPU the latter is a blocked approximate inversion
+    whose f32 error exceeds the eigh error this polish is meant to remove
+    (measured: cho_solve residual ~46 on a 12x12 system where the unrolled
+    solve is exact to roundoff).
     """
     d = G.shape[-1]
     if v0 is None:
         _, evecs = jnp.linalg.eigh(G)
         v0 = evecs[..., :, 0]
     eps = eps_scale * jnp.trace(G) / d
-    cf = jax.scipy.linalg.cho_factor(G + eps * jnp.eye(d))
+    H = G + eps * jnp.eye(d)
     v = v0
     for _ in range(iters):
-        v = jax.scipy.linalg.cho_solve(cf, v)
+        v = solve_spd_unrolled(H, v)
         v = v / jnp.maximum(jnp.linalg.norm(v), 1e-20)
     return v
+
+
+def _orthonormalize(V: jnp.ndarray) -> jnp.ndarray:
+    """Modified Gram-Schmidt over the columns of V (d, k) — unrolled at
+    trace time; avoids QR, whose TPU lowering goes through the inaccurate
+    TriangularSolve (see min_eigvec)."""
+    k = V.shape[-1]
+    cols = []
+    for i in range(k):
+        v = V[:, i]
+        for u in cols:
+            v = v - jnp.dot(u, v) * u
+        cols.append(v / jnp.maximum(jnp.linalg.norm(v), 1e-20))
+    return jnp.stack(cols, axis=-1)
+
+
+@f32_matmul
+def min_subspace(G: jnp.ndarray, k: int, iters: int = 4,
+                 eps_scale: float = 1e-4) -> jnp.ndarray:
+    """(d, k) orthonormal basis of the k smallest eigendirections of
+    symmetric PSD G, f32-TPU-safe: seed from eigh, polish by block inverse
+    iteration on (G + eps I) with unrolled-Cholesky solves + Gram-Schmidt,
+    order by Rayleigh-Ritz (TPU's f32 eigh resolves clustered trailing
+    eigenvectors poorly, and its TriangularSolve is approximate — see
+    min_eigvec)."""
+    d = G.shape[-1]
+    _, evecs = jnp.linalg.eigh(G)
+    V = evecs[:, :k]
+    eps = eps_scale * jnp.trace(G) / d
+    H = G + eps * jnp.eye(d)
+    for _ in range(iters):
+        V = jax.vmap(lambda b: solve_spd_unrolled(H, b),
+                     in_axes=-1, out_axes=-1)(V)
+        V = _orthonormalize(V)
+    w, U = jnp.linalg.eigh(V.T @ G @ V)     # Rayleigh-Ritz ordering
+    return V @ U
 
 
 def solve_spd_unrolled(H: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -80,6 +142,7 @@ def solve_spd_unrolled(H: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(x, axis=-1)
 
 
+@f32_matmul
 def null_vector(A: jnp.ndarray, iters: int = 4) -> jnp.ndarray:
     """Most-null right-singular vector of A (rows x d), f32-TPU-safe."""
     _, _, Vt = jnp.linalg.svd(A, full_matrices=False)

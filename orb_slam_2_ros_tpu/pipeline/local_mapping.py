@@ -245,9 +245,10 @@ def fuse_duplicates(m: map_state.MapState, cfg: SlamConfig,
 
 def cull_keyframes(m: map_state.MapState, cfg: SlamConfig, window: int = 20):
     """Remove redundant keyframes: >= 90% of a keyframe's landmarks observed
-    by >= 3 other keyframes (``LocalMapping::KeyFrameCulling``,
-    ``LocalMapping.cc:686-767``; the reference's same-or-finer-scale
-    condition is approximated by raw observation counts — documented).
+    by >= 3 other keyframes at the same or finer scale
+    (``LocalMapping::KeyFrameCulling``, ``LocalMapping.cc:686-767``: an
+    observation counts as redundant support only when the other keyframe
+    sees the point at scale level <= own level + 1, ``:728-737``).
 
     Only keyframes inside the recent window (the reference culls covisible
     keyframes of the current one) excluding the newest and keyframe 0.
@@ -255,9 +256,21 @@ def cull_keyframes(m: map_state.MapState, cfg: SlamConfig, window: int = 20):
     K = m.K
     rows = jnp.arange(K)
     n = m.n_kfs
-    obs_cnt = map_state.observation_count(m)
     has_mp = (m.kf_mp >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
-    redundant_obs = has_mp & (obs_cnt[jnp.clip(m.kf_mp, 0)] >= 4)
+    # per-point octave histogram -> cumulative count of observations at
+    # level <= l, so the scale gate is one gather per observation
+    L = cfg.orb.n_levels
+    flat_mp = jnp.where(has_mp, m.kf_mp, m.M).ravel()
+    flat_oct = jnp.clip(m.kf_octave, 0, L - 1).ravel()
+    cnt_oct = jnp.zeros((m.M + 1, L), jnp.int32).at[flat_mp, flat_oct].add(
+        (flat_mp < m.M).astype(jnp.int32))[:m.M]
+    cnt_le = jnp.cumsum(cnt_oct, axis=-1)                     # (M, L)
+    mp_idx = jnp.clip(m.kf_mp, 0)
+    lvl_gate = jnp.clip(m.kf_octave + 1, 0, L - 1)
+    n_support = jnp.take_along_axis(
+        cnt_le[mp_idx].reshape(K, m.P, L), lvl_gate[..., None],
+        axis=-1)[..., 0] - 1                                  # exclude self
+    redundant_obs = has_mp & (n_support >= 3)
     n_obs = jnp.sum(has_mp.astype(jnp.int32), axis=1)
     n_red = jnp.sum(redundant_obs.astype(jnp.int32), axis=1)
     in_window = (rows >= n - window) & (rows < n - 1) & (rows > 0)

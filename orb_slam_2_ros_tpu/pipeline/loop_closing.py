@@ -219,10 +219,15 @@ class LoopCloser:
                                                   s_old[i]))
 
             # chain edges i -> i+1 (spanning-tree equivalent: each KF's
-            # parent is its predecessor in insertion order)
+            # parent is its predecessor in insertion order). Culled keyframes
+            # participate too: their stored poses keep serving as reference
+            # anchors for frame-trajectory composition (the reference keeps
+            # mTcp to the parent for exactly this, ``KeyFrame.cc:553-671``),
+            # so the chain drags them along with the correction.
+            exists = rows < m.n_kfs
             ei_chain = rows[:-1]
             ej_chain = rows[1:]
-            w_chain = (m.kf_valid[ei_chain] & m.kf_valid[ej_chain]).astype(
+            w_chain = (exists[ei_chain] & exists[ej_chain]).astype(
                 jnp.float32)
             # covisibility edges: top-COVIS_EDGE_DEG neighbors >= threshold
             w_top, idx_top = jax.lax.top_k(covis, COVIS_EDGE_DEG)  # (K, D)
@@ -246,7 +251,7 @@ class LoopCloser:
             rs = rs.at[-1].set(s12)
 
             fixed = jnp.zeros((K,), bool).at[jnp.clip(c, 0)].set(True)
-            fixed = fixed | ~m.kf_valid
+            fixed = fixed | ~exists
             q2, t2, s2, _ = pose_graph.optimize_essential_graph(
                 qv, tv, sv, ei_all, ej_all, rq, rt, rs, w_all, fixed, cfg)
 
@@ -301,9 +306,23 @@ class LoopCloser:
                                     kp_valid, cfg)
             cam_free = m.kf_valid & (rows > 0) & accepted
             mp_free = m.mp_valid & accepted
+            q_pre, t_pre = m.kf_q, m.kf_t
             qg, tg, pg, edge_inl = ba.bundle_adjustment(
                 m.kf_q, m.kf_t, cam_free, m.mp_pos, mp_free, prob, cfg,
                 phases=(cfg.solver.global_ba_iters,))
+            # propagate the BA correction to culled keyframes through their
+            # nearest surviving predecessor: T_iw_new = T_ia * T_aw_new with
+            # T_ia frozen at pre-BA poses — the spanning-tree propagation of
+            # ``RunGlobalBundleAdjustment`` (``LoopClosing.cc:790-850``),
+            # keeping culled rows usable as trajectory reference anchors.
+            anc = jax.lax.associative_scan(
+                jnp.maximum, jnp.where(m.kf_valid & exists, rows, -1))
+            a = jnp.clip(anc, 0)
+            q_ia, t_ia = se3.relative(q_pre, t_pre, q_pre[a], t_pre[a])
+            q_prop, t_prop = se3.compose(q_ia, t_ia, qg[a], tg[a])
+            prop = exists & ~m.kf_valid & accepted & (anc >= 0)
+            qg = jnp.where(prop[:, None], q_prop, qg)
+            tg = jnp.where(prop[:, None], t_prop, tg)
             m = m._replace(kf_q=qg, kf_t=tg, mp_pos=pg)
 
             st = st._replace(

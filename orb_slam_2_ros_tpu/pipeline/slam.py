@@ -296,15 +296,19 @@ class System:
     # --------------------------------------------------------- trajectories
 
     def save_trajectory_tum(self, path: str):
-        poses, ts = self.tracker.trajectory_wc()
+        """Full-frame trajectory composed through reference keyframes so it
+        reflects all BA / loop corrections; lost frames skipped
+        (``System::SaveTrajectoryTUM``, ``System.cc:343-401``)."""
+        poses, ts = self.tracker.composed_trajectory(skip_lost=True)
         traj_io.write_tum(path, ts, poses)
 
     def save_keyframe_trajectory_tum(self, path: str):
         m = self.tracker.map
         n = int(jax.device_get(m.n_kfs))
-        kf_q = np.asarray(jax.device_get(m.kf_q))[:n]
-        kf_t = np.asarray(jax.device_get(m.kf_t))[:n]
-        fids = np.asarray(jax.device_get(m.kf_frame_id))[:n]
+        valid = np.asarray(jax.device_get(m.kf_valid))[:n]
+        kf_q = np.asarray(jax.device_get(m.kf_q))[:n][valid]
+        kf_t = np.asarray(jax.device_get(m.kf_t))[:n][valid]
+        fids = np.asarray(jax.device_get(m.kf_frame_id))[:n][valid]
         recs = self.tracker.records
         poses, ts = [], []
         for q, t, fid in zip(kf_q, kf_t, fids):
@@ -320,7 +324,10 @@ class System:
         traj_io.write_tum(path, ts, poses)
 
     def save_trajectory_kitti(self, path: str):
-        poses, _ = self.tracker.trajectory_wc()
+        """KITTI-format trajectory, composed like the TUM saver but keeping
+        every frame (``System::SaveTrajectoryKITTI``, ``System.cc:441-494``
+        does not gate on mbLost)."""
+        poses, _ = self.tracker.composed_trajectory(skip_lost=False)
         traj_io.write_kitti(path, poses)
 
     # -------------------------------------------------------------- getters
@@ -358,10 +365,15 @@ class System:
             n_mps=int(np.asarray(jax.device_get(m.mp_valid)).sum()),
             localization_only=self.localization_only)
 
-    def map_points(self) -> np.ndarray:
+    def map_points(self, min_observations: int = 0) -> np.ndarray:
         """(N, 3) valid map-point positions (the PointCloud2 analog,
-        ``ros/src/Node.cc:244-289``)."""
+        ``ros/src/Node.cc:244-289``). ``min_observations`` filters weakly
+        observed points like ``min_observations_for_ros_map``
+        (``ros/src/Node.cc:277-286``, dynamic-reconfigure default 4)."""
         m = self.tracker.map
         pos = np.asarray(jax.device_get(m.mp_pos))
         valid = np.asarray(jax.device_get(m.mp_valid))
+        if min_observations > 0:
+            cnt = np.asarray(jax.device_get(map_state.observation_count(m)))
+            valid = valid & (cnt >= min_observations)
         return pos[valid]

@@ -77,6 +77,29 @@ class FrameRecord:
     is_keyframe: bool
     R_wc: np.ndarray
     c_w: np.ndarray
+    # relative-pose bookkeeping (``Tracking.cc:524-540``): the frame's pose
+    # expressed relative to its reference keyframe, so saved trajectories
+    # reflect every later BA / loop-closure correction of that keyframe
+    # (``System::SaveTrajectoryTUM``, ``System.cc:343-401``)
+    ref_kf: int = -1
+    q_cr: np.ndarray = None   # (4,) T_cr rotation (wxyz)
+    t_cr: np.ndarray = None   # (3,) T_cr translation
+
+
+def _quat_mul_np(a, b):
+    """Hamilton product, (w, x, y, z) numpy quaternions."""
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return np.array([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw])
+
+
+def _quat_rotate_np(q, v):
+    t = 2.0 * np.cross(q[1:], v)
+    return v + q[0] * t + np.cross(q[1:], t)
 
 
 def _quat_to_R(qw, qx, qy, qz):
@@ -264,12 +287,18 @@ class Tracker:
             qi, ti = se3.inverse(q_new, t_new)
             n1_out = jnp.where(can_init, n_spawned, n1)
             n2_out = jnp.where(can_init, n_spawned, n2)
+            # reference-keyframe relative pose T_cr = T_cw * T_rw^-1
+            # (Tracking.cc:524-540): composed with the keyframe's CURRENT
+            # pose at save time so trajectories follow BA/loop corrections
+            r_ref = m.n_kfs - 1
+            rr = jnp.clip(r_ref, 0)
+            q_cr, t_cr = se3.relative(q_new, t_new, m.kf_q[rr], m.kf_t[rr])
             out = jnp.concatenate([
                 jnp.stack([n1_out.astype(jnp.float32),
                            n2_out.astype(jnp.float32),
                            commit.astype(jnp.float32),
                            state_code.astype(jnp.float32)]),
-                qi, ti])
+                qi, ti, r_ref.astype(jnp.float32)[None], q_cr, t_cr])
             return new_carry, out
 
         @jax.jit
@@ -374,7 +403,9 @@ class Tracker:
                     frame_id=len(self.records), timestamp=ts[j],
                     state=state, n_matches_frame=int(n1), n_inliers=int(n2),
                     is_keyframe=bool(is_kf > 0),
-                    R_wc=_quat_to_R(qw, qx, qy, qz), c_w=np.array(row[8:11]))
+                    R_wc=_quat_to_R(qw, qx, qy, qz), c_w=np.array(row[8:11]),
+                    ref_kf=int(row[11]), q_cr=np.array(row[12:16]),
+                    t_cr=np.array(row[16:19]))
                 self.records.append(rec)
                 recs.append(rec)
         self._pending = []
@@ -409,3 +440,28 @@ class Tracker:
     def trajectory_wc(self):
         return [(r.R_wc, r.c_w) for r in self.records], \
                [r.timestamp for r in self.records]
+
+    def composed_trajectory(self, skip_lost: bool = True):
+        """Per-frame camera-to-world poses composed through each frame's
+        reference keyframe: ``T_cw = T_cr * T_rw(current)`` — so the output
+        reflects every local-BA / loop-closure / global-BA correction applied
+        to the keyframes since the frame was tracked
+        (``System::SaveTrajectoryTUM``, ``System.cc:343-401``; lost frames
+        skipped like the reference's ``mbLost`` gate when ``skip_lost``).
+
+        Returns (poses [(R_wc, c_w)], timestamps)."""
+        m = self.carry.m
+        kf_q = np.asarray(jax.device_get(m.kf_q))
+        kf_t = np.asarray(jax.device_get(m.kf_t))
+        poses, ts = [], []
+        for r in self.records:
+            if r.ref_kf is None or r.ref_kf < 0 or r.q_cr is None:
+                continue
+            if skip_lost and r.state != OK:
+                continue
+            q_cw = _quat_mul_np(r.q_cr, kf_q[r.ref_kf])
+            t_cw = _quat_rotate_np(r.q_cr, kf_t[r.ref_kf]) + r.t_cr
+            R_cw = _quat_to_R(*q_cw)
+            poses.append((R_cw.T, -R_cw.T @ t_cw))
+            ts.append(r.timestamp)
+        return poses, ts

@@ -29,6 +29,10 @@ def main(argv=None):
                     help="default: rgbd for tum/synthetic, stereo for "
                          "kitti/euroc")
     ap.add_argument("--path", help="dataset directory (tum/kitti/euroc)")
+    ap.add_argument("--preset",
+                    help="camera preset (tum1/tum2/tum3/kitti/euroc/r200/"
+                         "d435/mynteye/zed2) ≙ choosing a launch file; "
+                         "defaults per dataset")
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no-ba", action="store_true", help="disable local BA")
@@ -44,8 +48,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     from orb_slam_2_ros_tpu.config import (SENSOR_MONOCULAR, SENSOR_RGBD,
-                                           SENSOR_STEREO, SlamConfig,
-                                           tum_fr1_config)
+                                           SENSOR_STEREO, SlamConfig)
     from orb_slam_2_ros_tpu.pipeline.slam import System
     from orb_slam_2_ros_tpu.pipeline.tracking import OK
     from orb_slam_2_ros_tpu.io.trajectory import ate_rmse
@@ -59,11 +62,16 @@ def main(argv=None):
     sensor = {"mono": SENSOR_MONOCULAR, "stereo": SENSOR_STEREO,
               "rgbd": SENSOR_RGBD}[sensor_name]
 
+    from orb_slam_2_ros_tpu import presets
+    preset_name = args.preset or {"synthetic": None, "tum": "tum1",
+                                  "kitti": "kitti", "euroc": "euroc"}[
+        args.dataset]
     gt = None
     if args.dataset == "synthetic":
         from orb_slam_2_ros_tpu.io.synthetic import (SyntheticRGBD,
                                                      SyntheticStereo)
-        cfg = SlamConfig(sensor=sensor)
+        cfg = (presets.get(preset_name, sensor) if preset_name
+               else SlamConfig(sensor=sensor))
         if sensor == SENSOR_STEREO:
             ds = SyntheticStereo(cfg, n_frames=args.frames, seed=args.seed)
         else:
@@ -71,24 +79,15 @@ def main(argv=None):
         gt = np.stack([ds.gt_pose_wc(i)[1] for i in range(len(ds))])
     elif args.dataset == "tum":
         from orb_slam_2_ros_tpu.io.datasets import TumRGBD
-        cfg = tum_fr1_config(sensor=sensor)
+        cfg = presets.get(preset_name, sensor)
         ds = TumRGBD(args.path, cfg.camera.depth_map_factor)
     elif args.dataset == "kitti":
         from orb_slam_2_ros_tpu.io.datasets import KittiOdometry
-        from orb_slam_2_ros_tpu.config import CameraConfig
-        # KITTI 00-02 calibration (P0); override via config for other seqs
-        cam = CameraConfig(width=1241, height=376, fx=718.856, fy=718.856,
-                           cx=607.1928, cy=185.2157, bf=386.1448,
-                           th_depth=35.0)
-        cfg = SlamConfig(sensor=sensor, camera=cam)
+        cfg = presets.get(preset_name, sensor)
         ds = KittiOdometry(args.path)
     else:
         from orb_slam_2_ros_tpu.io.datasets import EurocMav
-        from orb_slam_2_ros_tpu.config import CameraConfig
-        cam = CameraConfig(width=752, height=480, fx=435.2046, fy=435.2046,
-                           cx=367.4517, cy=252.2008, bf=47.90639,
-                           th_depth=35.0)
-        cfg = SlamConfig(sensor=sensor, camera=cam)
+        cfg = presets.get(preset_name, sensor)
         ds = EurocMav(args.path)
 
     if args.localization_only:

@@ -142,6 +142,10 @@ def _check_rt(R, t, uv1, uv2, valid, K, max_parallax_needed=1.0):
     return jnp.sum(good.astype(jnp.int32)), good, X, cosp
 
 
+from orb_slam_2_ros_tpu.ops.linalg import f32_matmul
+
+
+@f32_matmul
 def initialize(uv1: jnp.ndarray, uv2: jnp.ndarray, valid: jnp.ndarray,
                K: jnp.ndarray, key: jax.Array,
                n_hypotheses: int = 200, min_triangulated: int = 50) -> InitResult:

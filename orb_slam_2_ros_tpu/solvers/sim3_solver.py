@@ -19,6 +19,10 @@ from orb_slam_2_ros_tpu.config import SlamConfig
 from orb_slam_2_ros_tpu.geometry import camera, se3
 
 
+from orb_slam_2_ros_tpu.ops.linalg import f32_matmul
+
+
+@f32_matmul
 def horn_sim3(x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray = None,
               fix_scale: bool = False):
     """Closed-form similarity from matched 3D point sets: x2 ~ S12(x1)...

@@ -83,3 +83,27 @@ def test_euroc_loader(tmp_path):
     assert abs(float(l[0, 0]) - 30.0) < 1e-6
     assert abs(float(r[0, 0]) - 40.0) < 1e-6
     assert abs(ds.timestamps[0] - 1.0) < 1e-9
+
+
+def test_presets_cover_reference_launch_files():
+    """Every reference launch file (ros/launch/*.launch, SURVEY.md 2.22) has
+    a preset carrying its calibration; sensor overrides work."""
+    from orb_slam_2_ros_tpu import presets
+    from orb_slam_2_ros_tpu.config import SENSOR_STEREO
+
+    assert set(presets.PRESETS) >= {"tum1", "tum2", "kitti", "euroc",
+                                    "r200", "d435", "mynteye", "zed2"}
+    zed = presets.get("zed2")
+    assert zed.sensor == SENSOR_STEREO
+    assert abs(zed.camera.fx - 527.43) < 1e-9          # zed2 launch :56
+    assert abs(zed.camera.bf - 63.2916) < 1e-9         # zed2 launch :69
+    r200_st = presets.get("r200", SENSOR_STEREO)
+    assert abs(r200_st.camera.bf - 30.464328718) < 1e-9  # r200 stereo launch
+    d435 = presets.get("d435")
+    assert abs(d435.camera.bf - 9.052) < 1e-9          # d435 launch :52
+    assert d435.orb.n_features == 1000                 # d435 launch nFeatures
+    try:
+        presets.get("nope")
+        assert False
+    except KeyError:
+        pass

@@ -94,3 +94,36 @@ def test_cull_keeps_unique_keyframes():
         n_kfs=jnp.int32(5), n_mps=jnp.int32(200))
     m2, n_culled = cull_keyframes(m, cfg)
     assert int(n_culled) == 0
+
+
+def test_distinctive_descriptor_matches_oracle():
+    """Representative descriptor = min median Hamming to the point's other
+    observations (``MapPoint::ComputeDistinctiveDescriptors``,
+    ``MapPoint.cc:288-361``), newest NOBS_DESC observations considered."""
+    from orb_slam_2_ros_tpu.map.state import (_distinctive_descriptors,
+                                              NOBS_DESC)
+    rng = np.random.default_rng(7)
+    KP, M = 96, 12
+    flat_mp = rng.integers(-1, M, KP).astype(np.int32)
+    ok = flat_mp >= 0
+    desc = rng.integers(0, 2 ** 32, (KP, 8), dtype=np.uint32)
+    out = np.asarray(_distinctive_descriptors(
+        jnp.asarray(np.where(ok, flat_mp, 0)), jnp.asarray(ok),
+        jnp.asarray(desc), M))
+
+    def ham(a, b):
+        return sum(bin(int(x) ^ int(y)).count("1") for x, y in zip(a, b))
+
+    for m in range(M):
+        obs = sorted((i for i in range(KP) if ok[i] and flat_mp[i] == m),
+                     reverse=True)[:NOBS_DESC]
+        if not obs:
+            assert out[m].sum() == 0
+            continue
+        best, best_med = None, 1 << 30
+        for i in obs:
+            dists = sorted(ham(desc[i], desc[j]) for j in obs)
+            med = dists[(len(obs) - 1) // 2]
+            if med < best_med:
+                best_med, best = med, i
+        assert np.array_equal(out[m], desc[best])

@@ -134,3 +134,38 @@ def test_metrics_and_reset(run_result):
     # tracks again after the reset
     recs2 = sys2.track_chunk(grays, depths, ds.timestamps[:8])
     assert any(r.state == OK for r in recs2)
+
+
+def test_composed_trajectory_follows_keyframe_corrections(run_result):
+    """The TUM/KITTI savers compose each frame's T_cr with its reference
+    keyframe's CURRENT pose (``System::SaveTrajectoryTUM``,
+    ``System.cc:343-401``): rigidly transforming all keyframe poses must
+    rigidly transform the saved trajectory."""
+    import jax.numpy as jnp
+    from orb_slam_2_ros_tpu.geometry import se3
+
+    cfg, ds, sys_, recs = run_result
+    poses0, ts0 = sys_.tracker.composed_trajectory()
+    assert len(poses0) == len([r for r in recs if r.ref_kf >= 0])
+    # composed positions stay close to the live records (local BA nudges
+    # keyframes a little after each frame was recorded — that correction
+    # flowing into the trajectory is the point of the composition)
+    live = {r.timestamp: r.c_w for r in recs}
+    for (R, c), t in zip(poses0, ts0):
+        np.testing.assert_allclose(c, live[t], atol=0.05)
+
+    # apply a rigid world shift to every keyframe: T_kw' = T_kw * D^-1
+    m = sys_.tracker.map
+    dq = se3.quat_exp(jnp.array([0.05, -0.02, 0.1]))
+    dt = jnp.array([0.3, -0.2, 0.5])
+    dqi, dti = se3.inverse(dq, dt)
+    q2, t2 = se3.compose(m.kf_q, m.kf_t, dqi, dti)
+    sys_.tracker.adopt_map(m._replace(kf_q=q2, kf_t=t2))
+
+    poses1, _ = sys_.tracker.composed_trajectory()
+    Rd = np.asarray(se3.quat_to_matrix(dq))
+    td = np.asarray(dt)
+    for (R0, c0), (R1, c1) in zip(poses0, poses1):
+        # camera centers move with the world: c' = D(c) = Rd c + td
+        np.testing.assert_allclose(c1, Rd @ c0 + td, atol=1e-3)
+    sys_.tracker.adopt_map(m)  # restore for other tests
