@@ -50,6 +50,11 @@ class MapState(NamedTuple):
     mp_first_kf: jnp.ndarray  # (M,) int32 creating keyframe
     mp_dir_sum: jnp.ndarray   # (M, 3) running sum of unit viewing directions
     mp_obs_cnt: jnp.ndarray   # (M,) int32 running observation count
+    # ring buffer of the point's most recent observations as flat indices
+    # kf * P + kp (or -1): feeds the representative-descriptor selection
+    # without sorting the whole observation table (entries may go stale
+    # after fusion/culling — consumers re-validate against kf_mp)
+    mp_obs_tbl: jnp.ndarray   # (M, NOBS_DESC) int32
     # --- counters ---
     n_kfs: jnp.ndarray       # () int32 next keyframe row
     n_mps: jnp.ndarray       # () int32 next map-point row (monotone alloc)
@@ -92,6 +97,7 @@ def empty(cfg: SlamConfig) -> MapState:
         mp_first_kf=jnp.full((M,), -1, i32),
         mp_dir_sum=jnp.zeros((M, 3), f32),
         mp_obs_cnt=jnp.zeros((M,), i32),
+        mp_obs_tbl=jnp.full((M, NOBS_DESC), -1, i32),
         n_kfs=jnp.zeros((), i32),
         n_mps=jnp.zeros((), i32),
     )
@@ -120,6 +126,19 @@ def insert_keyframe(state: MapState, frame: Frame, q, t, frame_id,
         kf_mp=state.kf_mp.at[k].set(jnp.where(frame.kps.valid, kp_to_mp, -1)),
         n_kfs=k + 1,
     )
+    # record the associations in the per-point observation ring buffer
+    P = state.P
+    kp_mp = jnp.where(frame.kps.valid, kp_to_mp, -1)
+    obs_mask = kp_mp >= 0
+    mp_ids = jnp.where(obs_mask, kp_mp, state.M)
+    slot = state.mp_obs_cnt[jnp.clip(kp_mp, 0)] % NOBS_DESC
+    flat_idx = k * P + jnp.arange(P, dtype=jnp.int32)
+    tbl = jnp.concatenate([state.mp_obs_tbl,
+                           jnp.zeros((1, NOBS_DESC), jnp.int32)], axis=0)
+    cnt = jnp.concatenate([state.mp_obs_cnt, jnp.zeros((1,), jnp.int32)])
+    state = state._replace(
+        mp_obs_tbl=tbl.at[mp_ids, slot].set(flat_idx)[:state.M],
+        mp_obs_cnt=cnt.at[mp_ids].add(obs_mask.astype(jnp.int32))[:state.M])
     return state, k
 
 
@@ -180,6 +199,9 @@ def spawn_points(state: MapState, kf_id, cfg: SlamConfig,
         mp_first_kf=scat(state.mp_first_kf, jnp.full((P,), 1, jnp.int32) * kf_id),
         mp_dir_sum=scat(state.mp_dir_sum, dirs / jnp.maximum(dist[:, None], 1e-9)),
         mp_obs_cnt=scat(state.mp_obs_cnt, jnp.ones((P,), jnp.int32)),
+        mp_obs_tbl=scat(state.mp_obs_tbl,
+                        jnp.full((P, NOBS_DESC), -1, jnp.int32).at[:, 0].set(
+                            kf_id * P + jnp.arange(P, dtype=jnp.int32))),
         kf_mp=state.kf_mp.at[kf_id].set(
             jnp.where(spawn, new_id, state.kf_mp[kf_id])),
         n_mps=state.n_mps + jnp.sum(spawn.astype(jnp.int32)),
@@ -201,37 +223,25 @@ NOBS_DESC = 8   # newest observations considered per point when selecting the
                 # representative descriptor (MapPoint.cc:288-361 uses all)
 
 
-def _distinctive_descriptors(flat_mp: jnp.ndarray, ok: jnp.ndarray,
-                             desc_flat: jnp.ndarray, M: int) -> jnp.ndarray:
+def _distinctive_descriptors(obs_tbl: jnp.ndarray, have: jnp.ndarray,
+                             desc_flat: jnp.ndarray) -> jnp.ndarray:
     """Per map point, the observation descriptor with minimum median Hamming
     distance to that point's other observations
     (``MapPoint::ComputeDistinctiveDescriptors``, ``MapPoint.cc:288-361``),
-    batched over the whole pool: group observations by point via one lexsort,
-    keep the newest NOBS_DESC per point, and reduce the (NOBS x NOBS)
-    pairwise-Hamming block per point on the VPU.
+    batched over the whole pool from the per-point observation ring buffer
+    (``mp_obs_tbl`` — the newest NOBS_DESC observations; maintaining it
+    incrementally replaces a lexsort of the whole (K*P) observation table
+    that cost ~90 ms per mapping step on chip).
 
-    flat_mp (KP,) observation -> point id; ok (KP,) validity;
+    obs_tbl (M, NOBS) flat observation indices; have (M, NOBS) validity;
     desc_flat (KP, 8) uint32. Returns (M, 8) uint32 (zeros where no obs).
     """
     from orb_slam_2_ros_tpu.ops.hamming import popcount_u32
-    KP = flat_mp.shape[0]
-    NOBS = NOBS_DESC
-    key = jnp.where(ok, flat_mp, M)
-    idx = jnp.arange(KP, dtype=jnp.int32)
-    # sort by point id, newest observation (largest flat index) first
-    order = jnp.lexsort((-idx, key))
-    sorted_mp = key[order]
-    first = jnp.searchsorted(sorted_mp, sorted_mp, side="left")
-    rank = idx - first.astype(jnp.int32)
-    in_cap = (rank < NOBS) & (sorted_mp < M)
-    tgt_row = jnp.where(in_cap, sorted_mp, M)
-    obs_tbl = jnp.full((M + 1, NOBS), KP, jnp.int32).at[
-        tgt_row, jnp.clip(rank, 0, NOBS - 1)].set(
-        jnp.where(in_cap, order, KP))[:M]                  # (M, NOBS)
-    have = obs_tbl < KP
+    KP = desc_flat.shape[0]
+    NOBS = obs_tbl.shape[1]
     desc_pad = jnp.concatenate(
         [desc_flat, jnp.zeros((1, 8), desc_flat.dtype)], axis=0)
-    d = desc_pad[jnp.clip(obs_tbl, 0, KP)]                 # (M, NOBS, 8)
+    d = desc_pad[jnp.where(have, obs_tbl, KP)]             # (M, NOBS, 8)
     ham = jnp.sum(popcount_u32(d[:, :, None, :] ^ d[:, None, :, :]),
                   axis=-1)                                 # (M, NOBS, NOBS)
     big = jnp.int32(1 << 10)
@@ -295,14 +305,35 @@ def refresh_point_stats(state: MapState, cfg: SlamConfig) -> MapState:
     max_d = dist_new * sf
     min_d = max_d / (cfg.orb.scale_factor ** (cfg.orb.n_levels - 1))
     desc_flat = state.kf_desc.reshape(-1, 8)
-    desc = _distinctive_descriptors(flat_mp, ok, desc_flat, M)
+    # validate ring-buffer entries against the live observation table
+    # (fusion/culling leave stale entries behind)
+    tbl = state.mp_obs_tbl
+    t_kf = jnp.clip(tbl // P, 0, K - 1)
+    t_kp = jnp.clip(tbl % P, 0, P - 1)
+    have = ((tbl >= 0) & state.kf_valid[t_kf]
+            & (state.kf_mp[t_kf, t_kp] == jnp.arange(M)[:, None]))
+    desc = _distinctive_descriptors(tbl, have, desc_flat)
     keep = state.mp_valid & has_obs
+    # self-healing: when a point's whole ring buffer is stale/empty (map
+    # built externally, loaded from disk, or heavily fused), fall back to
+    # the newest observation's descriptor and re-seed the buffer with it
+    flat_newest = jnp.zeros((M + 1,), jnp.int32).at[
+        jnp.where(is_newest, flat_mp, M)].max(
+        jnp.where(is_newest, jnp.arange(K * P, dtype=jnp.int32), 0))[:M]
+    desc_newest = desc_flat[flat_newest]
+    buffered = jnp.any(have, axis=-1)
+    desc = jnp.where(buffered[:, None], desc, desc_newest)
+    reseed = keep & ~buffered
+    tbl = jnp.where(reseed[:, None],
+                    jnp.full((M, NOBS_DESC), -1,
+                             jnp.int32).at[:, 0].set(flat_newest), tbl)
     cnt = jnp.zeros((M + 1,), jnp.int32).at[tgt].add(ok.astype(jnp.int32))[:M]
     return state._replace(
         mp_normal=jnp.where(keep[:, None], normal, state.mp_normal),
         mp_max_dist=jnp.where(keep, 1.2 * max_d, state.mp_max_dist),
         mp_min_dist=jnp.where(keep, 0.8 * min_d, state.mp_min_dist),
         mp_desc=jnp.where(keep[:, None], desc, state.mp_desc),
+        mp_obs_tbl=tbl,
         # rebuild the incremental pools so commit_keyframe stays consistent
         mp_dir_sum=jnp.where(keep[:, None], nsum, state.mp_dir_sum),
         mp_obs_cnt=jnp.where(state.mp_valid, cnt, state.mp_obs_cnt),
@@ -385,12 +416,18 @@ def commit_keyframe(state: MapState, frame: Frame, q, t, frame_id,
 
     dir_sum = pad(state.mp_dir_sum).at[mp_ids].add(
         jnp.where(obs_mask[:, None], dirs, 0.0))[:M]
+    # ring-buffer slot from the PRE-increment count: newest NOBS_DESC
+    # observations feed the representative-descriptor selection
+    slot = state.mp_obs_cnt[jnp.clip(kp_mp, 0)] % NOBS_DESC
+    flat_idx = k * P + jnp.arange(P, dtype=jnp.int32)
+    obs_tbl = pad(state.mp_obs_tbl).at[mp_ids, slot].set(flat_idx)[:M]
     obs_cnt = pad(state.mp_obs_cnt).at[mp_ids].add(
         obs_mask.astype(jnp.int32))[:M]
     norm = jnp.linalg.norm(dir_sum, axis=-1, keepdims=True)
     state = state._replace(
         mp_dir_sum=dir_sum,
         mp_obs_cnt=obs_cnt,
+        mp_obs_tbl=obs_tbl,
         mp_normal=jnp.where((obs_cnt > 0)[:, None],
                             dir_sum / jnp.maximum(norm, 1e-9),
                             state.mp_normal),
@@ -447,6 +484,9 @@ def commit_keyframe(state: MapState, frame: Frame, q, t, frame_id,
         mp_dir_sum=scat(state.mp_dir_sum,
                         dirs_s / jnp.maximum(dist_s[:, None], 1e-9)),
         mp_obs_cnt=scat(state.mp_obs_cnt, jnp.ones((P,), jnp.int32)),
+        mp_obs_tbl=scat(state.mp_obs_tbl,
+                        jnp.full((P, NOBS_DESC), -1,
+                                 jnp.int32).at[:, 0].set(flat_idx)),
         kf_mp=state.kf_mp.at[k].set(kf_mp_row),
         n_kfs=state.n_kfs + need.astype(jnp.int32),
         n_mps=state.n_mps + jnp.sum(spawn.astype(jnp.int32)),

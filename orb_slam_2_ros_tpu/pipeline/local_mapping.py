@@ -150,6 +150,10 @@ def create_new_map_points(m: map_state.MapState, cfg: SlamConfig,
             mp_dir_sum=pad(m.mp_dir_sum).at[tgt].set(dir1 + dir2)[:m.M],
             mp_obs_cnt=pad(m.mp_obs_cnt).at[tgt].set(
                 jnp.full((P,), 2, jnp.int32))[:m.M],
+            mp_obs_tbl=pad(m.mp_obs_tbl).at[tgt].set(
+                jnp.full((P, map_state.NOBS_DESC), -1, jnp.int32)
+                .at[:, 0].set(k * P + i_idx)
+                .at[:, 1].set(n * P + jnp.arange(P, dtype=jnp.int32)))[:m.M],
             # observations in BOTH keyframes (scatter by keypoint index)
             kf_mp=m.kf_mp
             .at[k, jnp.where(spawn, i_idx, P)].set(

@@ -307,9 +307,14 @@ class LoopCloser:
             cam_free = m.kf_valid & (rows > 0) & accepted
             mp_free = m.mp_valid & accepted
             q_pre, t_pre = m.kf_q, m.kf_t
+            # robust=False mirrors the reference: the loop GBA runs WITHOUT
+            # a Huber kernel (RunGlobalBundleAdjustment ->
+            # GlobalBundleAdjustemnt(..., bRobust=false), LoopClosing.cc:763)
+            # — the large seam residuals are the signal that pulls the
+            # drifted ring back, and a kernel would downweight exactly them
             qg, tg, pg, edge_inl = ba.bundle_adjustment(
                 m.kf_q, m.kf_t, cam_free, m.mp_pos, mp_free, prob, cfg,
-                phases=(cfg.solver.global_ba_iters,))
+                phases=(cfg.solver.global_ba_iters,), robust=False)
             # propagate the BA correction to culled keyframes through their
             # nearest surviving predecessor: T_iw_new = T_ia * T_aw_new with
             # T_ia frozen at pre-BA poses — the spanning-tree propagation of

@@ -45,6 +45,10 @@ def main(argv=None):
     ap.add_argument("--save-traj", help="write TUM trajectory on exit")
     ap.add_argument("--save-kf-traj", help="write TUM keyframe trajectory")
     ap.add_argument("--save-debug-image", help="write final annotated frame")
+    ap.add_argument("--profile",
+                    help="write a jax.profiler (xprof) trace of the run to "
+                         "this directory (SURVEY.md §5.1: the reference has "
+                         "no tracing; stdout prints only)")
     args = ap.parse_args(argv)
 
     from orb_slam_2_ros_tpu.config import (SENSOR_MONOCULAR, SENSOR_RGBD,
@@ -103,6 +107,9 @@ def main(argv=None):
 
     n = min(len(ds), args.frames) if args.dataset != "synthetic" else len(ds)
     chunk = sys_.tracker.chunk
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(args.profile)
     t_start = time.perf_counter()
     recs_all = []
     for i in range(0, n, chunk):
@@ -116,6 +123,10 @@ def main(argv=None):
         print(f"[{i:4d}-{j:4d}) tracked {ok}/{len(recs)} (+{kfs} KF, "
               f"inliers {recs[-1].n_inliers})", flush=True)
     dt = time.perf_counter() - t_start
+    if args.profile:
+        import jax
+        jax.profiler.stop_trace()
+        print("profiler trace ->", args.profile)
 
     est = np.stack([r.c_w for r in sys_.records])
     print(f"done: {n} frames in {dt:.1f}s ({n / dt:.1f} fps incl. host IO), "

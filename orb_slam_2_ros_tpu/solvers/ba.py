@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from orb_slam_2_ros_tpu.config import SlamConfig
+from orb_slam_2_ros_tpu.ops.linalg import f32_matmul
 from orb_slam_2_ros_tpu.geometry import se3
 
 _EPS = 1e-9
@@ -149,9 +150,10 @@ def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
     return adj * inv_det[..., None, None]
 
 
+@f32_matmul
 def bundle_adjustment(q, t, cam_free, pos, mp_free, prob: BAProblem,
-                      cfg: SlamConfig, phases=(5, 10), cg_iters: int = 20,
-                      axis_name: str = None):
+                      cfg: SlamConfig, phases=(5, 10), cg_iters: int = 100,
+                      axis_name: str = None, robust: bool = True):
     """Run Schur-LM bundle adjustment.
 
     q (C, 4), t (C, 3): world->camera poses; cam_free (C,) bool (False =
@@ -260,6 +262,16 @@ def bundle_adjustment(q, t, cam_free, pos, mp_free, prob: BAProblem,
             return x, r, p, rz_new
 
         xc, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body, (x0, r0, p0, rz0))
+        # CG on the f32 Schur system can diverge at tiny damping (S goes
+        # indefinite under cancellation): sanitize NaN/inf to zero and
+        # trust-region the per-camera step so the candidate is always
+        # finite — then the err comparison below genuinely decides (a NaN
+        # pose would otherwise zero its own edge weights via the z>_EPS
+        # mask, read err_new = 0.0, and be accepted, wiping every free
+        # camera at once).
+        xc = jnp.nan_to_num(xc, nan=0.0, posinf=0.0, neginf=0.0)
+        nrm = jnp.linalg.norm(xc, axis=-1, keepdims=True)
+        xc = xc * jnp.minimum(1.0, 10.0 / jnp.maximum(nrm, 1e-20))
         # back-substitute landmarks
         xp = jnp.einsum("mij,mj->mi", Hpp_inv, bp - Hpc_mv(xc))
 
@@ -296,7 +308,7 @@ def bundle_adjustment(q, t, cam_free, pos, mp_free, prob: BAProblem,
 
     edge_mask = prob.valid
     for i, n_iters in enumerate(phases):
-        use_kernel = i == 0
+        use_kernel = robust and i == 0
         q, t, pos = lm_phase(q, t, pos, edge_mask, use_kernel, n_iters)
         # chi2 pruning between phases (Optimizer.cc:781-812)
         e, _, _, z = _edge_terms(prob, q, t, pos, cfg)
@@ -311,6 +323,7 @@ def bundle_adjustment(q, t, cam_free, pos, mp_free, prob: BAProblem,
 # Dense-Schur windowed BA: the local-mapping workhorse.
 # --------------------------------------------------------------------------
 
+@f32_matmul
 def windowed_bundle_adjustment(kf_q, kf_t, window_rows, kf_uv, kf_ur,
                                kf_octave, kf_mp, kp_valid, mp_pos, mp_free,
                                cfg: SlamConfig, phases=(5, 10)):
@@ -449,19 +462,24 @@ def windowed_bundle_adjustment(kf_q, kf_t, window_rows, kf_uv, kf_ur,
              - S_cross)
         bc_red = bc - jnp.einsum("manj,mjk,mk->an", T, Hpp_inv, bp)
 
-        # pad unused window slots with identity rows. LU solve, not
-        # Cholesky: the explicitly formed Schur complement can go slightly
-        # indefinite under f32 cancellation (Hcc - T Hpp^-1 T^T with large
-        # monocular-scale landmark terms); a NaN step is sanitized and then
-        # rejected by the LM accept test, whose growing damping restores
-        # definiteness on the retry
+        # pad unused window slots with identity rows. eigh-based solve, not
+        # LU/Cholesky: TPU lowers triangular solves to an approximate
+        # blocked inversion (see ops/linalg.min_eigvec), and the explicitly
+        # formed Schur complement can also go slightly indefinite under f32
+        # cancellation (Hcc - T Hpp^-1 T^T with large monocular-scale
+        # landmark terms) — clamping the eigenvalues handles both: accurate
+        # on-device and always finite, with bad steps still rejected by the
+        # LM accept test
         pad = ~win_valid
         Sm = S.reshape(6 * Wn, 6 * Wn)
         diag_pad = jnp.repeat(pad, 6)
         Sm = Sm + jnp.diag(diag_pad.astype(jnp.float32))
         bvec = (bc_red * win_valid[:, None]).reshape(-1)
-        xc = jnp.nan_to_num(jnp.linalg.solve(Sm, bvec),
-                            nan=0.0, posinf=0.0, neginf=0.0).reshape(Wn, 6)
+        w_e, V_e = jnp.linalg.eigh(Sm)
+        floor = 1e-8 * jnp.maximum(jnp.max(jnp.abs(w_e)), 1e-8)
+        xc = (V_e @ ((V_e.T @ bvec) / jnp.maximum(w_e, floor)))
+        xc = jnp.nan_to_num(xc, nan=0.0, posinf=0.0,
+                            neginf=0.0).reshape(Wn, 6)
         xc = xc * win_valid[:, None]
 
         # back-substitute landmarks: xp = Hpp_inv (bp - T^T xc)

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from orb_slam_2_ros_tpu.config import SlamConfig
 from orb_slam_2_ros_tpu.geometry import sim3
+from orb_slam_2_ros_tpu.ops.linalg import f32_matmul
 
 
 def edge_residual(qi, ti, si, qj, tj, sj, rq, rt, rs):
@@ -43,6 +44,7 @@ def _residual_local(d_i, d_j, qi, ti, si, qj, tj, sj, rq, rt, rs):
     return edge_residual(qi2, ti2, si2, qj2, tj2, sj2, rq, rt, rs)
 
 
+@f32_matmul
 def optimize_essential_graph(q, t, s, edges_i, edges_j, rel_q, rel_t, rel_s,
                              edge_w, fixed, cfg: SlamConfig,
                              iters: int = None):
@@ -103,7 +105,11 @@ def optimize_essential_graph(q, t, s, edges_i, edges_j, rel_q, rel_t, rel_s,
         pad = diag_fix | no_constraint
         H = H + jnp.diag(jnp.where(pad, 1.0, lam * jnp.maximum(jnp.diag(H),
                                                                1e-12)))
-        d = -jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(H), b)
+        # eigh-based SPD solve: TPU's Cholesky triangular solves are
+        # approximate blocked inversions; eigh is accurate on-device and the
+        # (7K x 7K) system is tiny for the MXU
+        w_e, V_e = jnp.linalg.eigh(H)
+        d = -(V_e @ ((V_e.T @ b) / jnp.maximum(w_e, 1e-8)))
         d = d.reshape(K, 7) * free[:, None]
         dq, dt, ds = sim3.exp(d)
         q2, t2, s2 = sim3.compose(dq, dt, ds, qc, tc, sc)

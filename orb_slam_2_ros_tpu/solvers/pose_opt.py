@@ -100,10 +100,13 @@ def pose_optimization(q0, t0, pts, obs_uv, obs_ur, octave, valid, cfg: SlamConfi
         w = jnp.where(edge_mask & (z > _EPS), inv_sigma2 * w_rob, 0.0)
         Wc = comp_w * w[:, None]
         # one (7 x 3M)@(3M x 7) matmul yields H (6x6) and b (6,) together:
-        # S = [J | e] row-augmented, G = S^T W S
+        # S = [J | e] row-augmented, G = S^T W S. Full-f32 operand precision:
+        # the default bf16 passes round the gradient b to ~4e-3 relative,
+        # which floors the achievable pose precision; the matmul is tiny so
+        # the extra passes are free.
         S = jnp.concatenate([J, e[:, :, None]], axis=-1).reshape(-1, 7)
         Sw = S * Wc.reshape(-1, 1)
-        G = Sw.T @ S
+        G = jnp.matmul(Sw.T, S, precision=jax.lax.Precision.HIGHEST)
         H = G[:6, :6]
         b = G[:6, 6]
         # robust total error (Huber rho) for LM step accept/reject
@@ -136,7 +139,9 @@ def pose_optimization(q0, t0, pts, obs_uv, obs_ur, octave, valid, cfg: SlamConfi
             q_new, t_new = se3.compose(dq, dt, q, t)
             H_new, b_new, err_new = weighted_system(q_new, t_new, edge_mask,
                                                     use_kernel)
-            improved = err_new < err
+            # explicit finite guard: a NaN candidate zeroes its own edge
+            # weights (z > _EPS mask), making err_new read 0.0
+            improved = jnp.all(jnp.isfinite(xi)) & (err_new < err)
             q = jnp.where(improved, q_new, q)
             t = jnp.where(improved, t_new, t)
             H = jnp.where(improved, H_new, H)

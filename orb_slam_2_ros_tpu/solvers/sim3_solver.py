@@ -19,7 +19,7 @@ from orb_slam_2_ros_tpu.config import SlamConfig
 from orb_slam_2_ros_tpu.geometry import camera, se3
 
 
-from orb_slam_2_ros_tpu.ops.linalg import f32_matmul
+from orb_slam_2_ros_tpu.ops.linalg import f32_matmul, solve_spd_unrolled
 
 
 @f32_matmul
@@ -140,6 +140,7 @@ def _mutual_project(q, t, s, x1, x2, cfg):
     return x2_in1, x1_in2, p1, p2
 
 
+@f32_matmul
 def refine_sim3_lm(q, t, s, x1, x2, uv1, uv2, valid, cfg: SlamConfig,
                    fix_scale: bool = False, n_iters: int = 10,
                    huber2: float = 10.0):
@@ -199,7 +200,9 @@ def refine_sim3_lm(q, t, s, x1, x2, uv1, uv2, valid, cfg: SlamConfig,
         H = H * scale_mask[:, None] * scale_mask[None, :] \
             + jnp.diag(1.0 - scale_mask)
         Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(7)
-        d = -jnp.nan_to_num(jnp.linalg.solve(Hd, b * scale_mask))
+        # unrolled SPD solve: TPU's LU/TriangularSolve is an approximate
+        # blocked inversion (see ops/linalg.min_eigvec)
+        d = -jnp.nan_to_num(solve_spd_unrolled(Hd, b * scale_mask))
         d = d * scale_mask
         q2, t2, s2 = sim3_mod.compose(*sim3_mod.exp(d), q, t, s)
         # error-only candidate evaluation (no Jacobian)

@@ -107,9 +107,16 @@ def test_distinctive_descriptor_matches_oracle():
     flat_mp = rng.integers(-1, M, KP).astype(np.int32)
     ok = flat_mp >= 0
     desc = rng.integers(0, 2 ** 32, (KP, 8), dtype=np.uint32)
+    # build the observation ring buffer the way the pipeline maintains it:
+    # sequential insertion, slot = (#prior observations) % NOBS_DESC
+    tbl = np.full((M, NOBS_DESC), -1, np.int32)
+    cnt = np.zeros(M, np.int32)
+    for i in range(KP):
+        if ok[i]:
+            tbl[flat_mp[i], cnt[flat_mp[i]] % NOBS_DESC] = i
+            cnt[flat_mp[i]] += 1
     out = np.asarray(_distinctive_descriptors(
-        jnp.asarray(np.where(ok, flat_mp, 0)), jnp.asarray(ok),
-        jnp.asarray(desc), M))
+        jnp.asarray(tbl), jnp.asarray(tbl >= 0), jnp.asarray(desc)))
 
     def ham(a, b):
         return sum(bin(int(x) ^ int(y)).count("1") for x, y in zip(a, b))
@@ -120,10 +127,13 @@ def test_distinctive_descriptor_matches_oracle():
         if not obs:
             assert out[m].sum() == 0
             continue
-        best, best_med = None, 1 << 30
-        for i in obs:
-            dists = sorted(ham(desc[i], desc[j]) for j in obs)
-            med = dists[(len(obs) - 1) // 2]
-            if med < best_med:
-                best_med, best = med, i
-        assert np.array_equal(out[m], desc[best])
+        def med_of(d0):
+            dists = sorted(ham(d0, desc[j]) for j in obs)
+            return dists[(len(obs) - 1) // 2]
+
+        best_med = min(med_of(desc[i]) for i in obs)
+        # the chosen descriptor must be one of the observations and achieve
+        # the optimal median (tie-breaking order is implementation-defined:
+        # ring-buffer slot order here vs newest-first in a naive oracle)
+        assert any(np.array_equal(out[m], desc[i]) for i in obs)
+        assert med_of(out[m]) == best_med

@@ -1,0 +1,67 @@
+"""Per-stage device timing for the mapping step (LocalMapper) on the real
+chip: triangulation, fusion, windowed BA, culling, point-stat refresh.
+
+Usage: python tools/profile_mapping.py [--reps 10]
+"""
+
+import argparse
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+
+
+def timeit(fn, reps):
+    import jax
+    jax.block_until_ready(fn())
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    from orb_slam_2_ros_tpu.config import SlamConfig, SENSOR_RGBD
+    from orb_slam_2_ros_tpu.io.synthetic import SyntheticRGBD
+    from orb_slam_2_ros_tpu.pipeline.tracking import Tracker
+    from orb_slam_2_ros_tpu.pipeline import local_mapping as lm
+    from orb_slam_2_ros_tpu.map import state as map_state
+
+    cfg = SlamConfig(sensor=SENSOR_RGBD)
+    ds = SyntheticRGBD(cfg, n_frames=32, seed=0)
+    tracker = Tracker(cfg)
+    grays = np.stack([ds[i][0] for i in range(32)])
+    depths = np.stack([ds[i][1] for i in range(32)])
+    tracker.process_chunk(grays, depths, ds.timestamps, defer_fetch=True)
+    m = tracker.carry.m
+    _ = float(np.asarray(jax.device_get(m.n_kfs)))   # honest-timing mode
+    print(f"map: {int(jax.device_get(m.n_kfs))} kfs, "
+          f"{int(np.asarray(jax.device_get(m.mp_valid)).sum())} points")
+
+    mapper = lm.LocalMapper(cfg, window=20)
+    stages = {
+        "create_new_map_points": jax.jit(
+            lambda mm: lm.create_new_map_points(mm, cfg)[0]),
+        "fuse_duplicates": jax.jit(lambda mm: lm.fuse_duplicates(mm, cfg)[0]),
+        "cull_keyframes": jax.jit(lambda mm: lm.cull_keyframes(mm, cfg)[0]),
+        "refresh_point_stats": jax.jit(
+            lambda mm: map_state.refresh_point_stats(mm, cfg)),
+        "covisibility": jax.jit(lambda mm: map_state.covisibility(mm)),
+        "FULL mapping step": lambda mm: mapper.run(mm)[0],
+    }
+    for name, fn in stages.items():
+        ms = timeit(lambda: fn(m), args.reps)
+        print(f"{name:24s} {ms:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
