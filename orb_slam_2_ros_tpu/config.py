@@ -122,6 +122,12 @@ class MapConfig:
     local_window: int = 80        # local-map KF cap (Tracking.cc:1474)
     min_obs_cull: int = 3         # map-point culling min observations (LocalMapping.cc:219)
     kf_cull_redundancy: float = 0.9   # keyframe culling rule (LocalMapping.cc:686)
+    tri_neighbors: int = 4        # covisible neighbors triangulated against
+                                  # per mapping step; the reference sweeps
+                                  # 10 (stereo) / 20 (mono) per keyframe
+                                  # (LocalMapping.cc:247) — a smaller static
+                                  # pass count trades per-step cost for
+                                  # breadth, later steps revisit the rest
 
 
 @dataclasses.dataclass(frozen=True)

@@ -30,10 +30,7 @@ from orb_slam_2_ros_tpu.geometry import camera, se3, triangulate as tri
 from orb_slam_2_ros_tpu.map import state as map_state
 from orb_slam_2_ros_tpu.solvers import ba
 
-N_TRI_NEIGH = 4      # covisible neighbors triangulated against per step
-                     # (the reference uses 10/20, LocalMapping.cc:247; the
-                     # static pass count trades breadth for per-step cost —
-                     # later steps revisit the remaining neighbors)
+
 
 
 def create_new_map_points(m: map_state.MapState, cfg: SlamConfig,
@@ -47,9 +44,10 @@ def create_new_map_points(m: map_state.MapState, cfg: SlamConfig,
 
     Returns (m, n_spawned)."""
     K_int = camera.intrinsics(cfg.camera)
+    n_neigh = cfg.map.tri_neighbors
     k = jnp.maximum(m.n_kfs - 1, 0)
     covis = map_state.covisibility(m)
-    w_top, idx_top = jax.lax.top_k(covis[k], N_TRI_NEIGH)
+    w_top, idx_top = jax.lax.top_k(covis[k], n_neigh)
 
     # median scene depth of the new keyframe for the baseline gate
     # (ComputeSceneMedianDepth, KeyFrame.cc:767-817)
@@ -62,7 +60,7 @@ def create_new_map_points(m: map_state.MapState, cfg: SlamConfig,
     total = jnp.int32(0)
     ratio_factor = 1.5 * cfg.orb.scale_factor
 
-    for rank in range(N_TRI_NEIGH):
+    for rank in range(n_neigh):
         n = idx_top[rank]
         ck = se3.camera_center(m.kf_q[k], m.kf_t[k])
         cn = se3.camera_center(m.kf_q[n], m.kf_t[n])
@@ -167,7 +165,7 @@ def create_new_map_points(m: map_state.MapState, cfg: SlamConfig,
 
 
 def fuse_duplicates(m: map_state.MapState, cfg: SlamConfig,
-                    n_neigh: int = N_TRI_NEIGH):
+                    n_neigh: int = None):
     """Merge duplicate landmarks between the newest keyframe and its best
     covisible neighbors (``LocalMapping::SearchInNeighbors`` +
     ``ORBmatcher::Fuse``, ``LocalMapping.cc:502-582``,
@@ -179,6 +177,8 @@ def fuse_duplicates(m: map_state.MapState, cfg: SlamConfig,
     keypoints gain the observation instead.
 
     Returns (m, n_fused)."""
+    if n_neigh is None:
+        n_neigh = cfg.map.tri_neighbors
     k = jnp.maximum(m.n_kfs - 1, 0)
     covis = map_state.covisibility(m)
     w_top, idx_top = jax.lax.top_k(covis[k], n_neigh)

@@ -48,6 +48,37 @@ def main():
           f"{int(np.asarray(jax.device_get(m.mp_valid)).sum())} points")
 
     mapper = lm.LocalMapper(cfg, window=20)
+
+    # windowed BA in isolation at several LM budgets -> ms/iteration
+    from orb_slam_2_ros_tpu.solvers import ba as ba_mod
+    import jax.numpy as jnp
+
+    def run_wba(mm, phases):
+        K, P, M = mm.K, mm.P, mm.M
+        W2 = 40
+        n = mm.n_kfs
+        rows_idx = n - W2 + jnp.arange(W2)
+        row_ok = (rows_idx >= 0) & mm.kf_valid[jnp.clip(rows_idx, 0)]
+        rows = jnp.clip(rows_idx, 0)
+        c_mp = jnp.where(row_ok[:, None], mm.kf_mp[rows], -1)
+        c_kpv = mm.kf_kp_valid[rows] & row_ok[:, None]
+        w_local = W2 - 20 + jnp.arange(20)
+        w_ok = row_ok[w_local] & (rows_idx[w_local] > 0)
+        window_rows = jnp.where(w_ok, w_local, -1).astype(jnp.int32)
+        in_win_row = jnp.zeros((W2,), bool).at[w_local].set(w_ok)
+        obs = jnp.where(in_win_row[:, None] & (c_mp >= 0), c_mp, M)
+        mp_free = jnp.zeros((M + 1,), bool).at[obs.ravel()].set(True)[:M]
+        mp_free = mp_free & mm.mp_valid
+        return ba_mod.windowed_bundle_adjustment(
+            mm.kf_q[rows], mm.kf_t[rows], window_rows, mm.kf_uv[rows],
+            mm.kf_ur[rows], mm.kf_octave[rows], c_mp, c_kpv,
+            mm.mp_pos, mp_free, cfg, phases=phases)[0]
+
+    for ph in ((1,), (5, 10)):
+        f = jax.jit(lambda mm, p=ph: run_wba(mm, p))
+        ms = timeit(lambda: f(m), args.reps)
+        print(f"windowed BA {str(ph):8s} {ms:8.2f} ms")
+
     stages = {
         "create_new_map_points": jax.jit(
             lambda mm: lm.create_new_map_points(mm, cfg)[0]),
