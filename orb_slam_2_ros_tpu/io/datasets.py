@@ -127,6 +127,34 @@ class KittiOdometry:
                 poses.append((v[:, :3], v[:, 3]))
         return np.array(self.timestamps), poses
 
+    def calibration(self):
+        """Intrinsics + stereo baseline from the sequence's calib.txt
+        (P0/P1 rectified projection matrices): returns a dict with fx, fy,
+        cx, cy, bf, width, height — the camera_info-equivalent source the
+        reference reads from a live topic (``ros/src/Node.cc:336-358``).
+        Returns None when calib.txt is absent."""
+        path = os.path.join(self.seq_dir, "calib.txt")
+        if not os.path.exists(path):
+            return None
+        P = {}
+        with open(path) as f:
+            for line in f:
+                if ":" in line:
+                    key, vals = line.split(":", 1)
+                    P[key.strip()] = np.fromstring(vals, sep=" ")
+        if "P0" not in P or "P1" not in P:
+            return None
+        P0 = P["P0"].reshape(3, 4)
+        P1 = P["P1"].reshape(3, 4)
+        img = _imread_gray(os.path.join(self.left_dir, "000000.png"))
+        return {
+            "fx": float(P0[0, 0]), "fy": float(P0[1, 1]),
+            "cx": float(P0[0, 2]), "cy": float(P0[1, 2]),
+            # P1[0,3] = -fx * baseline for the right camera
+            "bf": float(-P1[0, 3]),
+            "width": int(img.shape[1]), "height": int(img.shape[0]),
+        }
+
 
 class EurocMav:
     """EuRoC MAV dir: mav0/cam0/data + cam1/data with data.csv stamps."""

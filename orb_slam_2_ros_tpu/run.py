@@ -89,6 +89,12 @@ def main(argv=None):
         from orb_slam_2_ros_tpu.io.datasets import KittiOdometry
         cfg = presets.get(preset_name, sensor)
         ds = KittiOdometry(args.path)
+        calib = ds.calibration()
+        if calib is not None:
+            # per-sequence intrinsics from calib.txt (the camera_info
+            # equivalent, ros/src/Node.cc:336-358)
+            import dataclasses as _dc
+            cfg = cfg.replace(camera=_dc.replace(cfg.camera, **calib))
     else:
         from orb_slam_2_ros_tpu.io.datasets import EurocMav
         cfg = presets.get(preset_name, sensor)

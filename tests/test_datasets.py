@@ -107,3 +107,29 @@ def test_presets_cover_reference_launch_files():
         assert False
     except KeyError:
         pass
+
+
+def test_kitti_calibration_from_calib_txt(tmp_path):
+    """Per-sequence intrinsics come from calib.txt (the camera_info
+    equivalent, ``ros/src/Node.cc:336-358``)."""
+    import numpy as np
+    import cv2
+    seq = tmp_path / "00"
+    (seq / "image_0").mkdir(parents=True)
+    (seq / "image_1").mkdir()
+    (seq / "times.txt").write_text("0.0\n0.1\n")
+    img = np.zeros((376, 1241), np.uint8)
+    for d in ("image_0", "image_1"):
+        for i in range(2):
+            cv2.imwrite(str(seq / d / f"{i:06d}.png"), img)
+    fx, cx, cy, base = 718.856, 607.1928, 185.2157, 0.5371657
+    p0 = f"P0: {fx} 0 {cx} 0 0 {fx} {cy} 0 0 0 1 0\n"
+    p1 = (f"P1: {fx} 0 {cx} {-fx * base} 0 {fx} {cy} 0 0 0 1 0\n")
+    (seq / "calib.txt").write_text(p0 + p1)
+
+    from orb_slam_2_ros_tpu.io.datasets import KittiOdometry
+    ds = KittiOdometry(str(seq))
+    cal = ds.calibration()
+    assert abs(cal["fx"] - fx) < 1e-3
+    assert abs(cal["bf"] - fx * base) < 1e-3
+    assert cal["width"] == 1241 and cal["height"] == 376
