@@ -120,6 +120,13 @@ class MapConfig:
     covis_th: int = 15            # covisibility edge weight threshold (KeyFrame.cc:397)
     covis_neighbors: int = 32     # bounded covisibility degree kept per KF
     local_window: int = 80        # local-map KF cap (Tracking.cc:1474)
+    local_map_cap: int = 4096     # max map points entering the per-frame
+                                  # local-map search: frustum survivors are
+                                  # compacted to this bound (the array
+                                  # analog of the reference's 80-KF local
+                                  # map, Tracking.cc:1409-1532; also 4x
+                                  # less VPU gate work than sweeping the
+                                  # full 16k point pool per frame)
     min_obs_cull: int = 3         # map-point culling min observations (LocalMapping.cc:219)
     kf_cull_redundancy: float = 0.9   # keyframe culling rule (LocalMapping.cc:686)
     tri_neighbors: int = 4        # covisible neighbors triangulated against

@@ -449,10 +449,19 @@ def commit_keyframe(state: MapState, frame: Frame, q, t, frame_id,
             # e.g. initialization spawns all depths (Tracking.cc:565-590)
             close = close | allow_far
         eligible = eligible & close
-    rank_key = jnp.where(eligible, depth, jnp.inf)
-    order = jnp.argsort(rank_key)
-    ranks = jnp.zeros((P,), jnp.int32).at[order].set(
-        jnp.arange(P, dtype=jnp.int32))
+    if max_spawn >= P:
+        # cap never binds: skip the depth argsort (a 1536-wide bitonic sort
+        # cost ~1 ms of the 2.6 ms commit step on chip) — allocation order
+        # is immaterial when everything eligible spawns
+        ranks = jnp.cumsum(eligible.astype(jnp.int32)) - 1
+        ranks = jnp.where(eligible, ranks, P)
+    else:
+        # nearest-first static cap (the reference's depth-sorted 100-point
+        # top-up, Tracking.cc:1240-1296)
+        rank_key = jnp.where(eligible, depth, jnp.inf)
+        order = jnp.argsort(rank_key)
+        ranks = jnp.zeros((P,), jnp.int32).at[order].set(
+            jnp.arange(P, dtype=jnp.int32))
     capacity_left = M - state.n_mps
     spawn = eligible & (ranks < max_spawn) & (ranks < capacity_left)
     new_id = jnp.where(spawn, state.n_mps + ranks, -1)

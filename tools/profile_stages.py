@@ -76,6 +76,40 @@ def main():
         q, t, pts, uv, ur, octv, vmask, cfg))
     print(f"pose_opt (4x10):  {timeit(lambda: pose_j(q0, t0), args.reps):8.3f} ms")
 
+    # in-scan pieces on a realistic tracked state: build a small map first
+    from orb_slam_2_ros_tpu.frontend import matcher
+    from orb_slam_2_ros_tpu.map import state as map_state
+    from orb_slam_2_ros_tpu.geometry import se3
+
+    tracker0 = Tracker(cfg)
+    grays0 = np.stack([ds[i][0] for i in range(4)])
+    depths0 = np.stack([ds[i][1] for i in range(4)])
+    tracker0.process_chunk(grays0, depths0, ds.timestamps[:4],
+                           defer_fetch=True)
+    m = tracker0.carry.m
+
+    tv_j = jax.jit(lambda q, t: matcher.frustum_check(
+        q, t, m.mp_pos, m.mp_normal, m.mp_min_dist, m.mp_max_dist,
+        m.mp_valid, cfg))
+    tv = tv_j(q0, t0)
+    print(f"frustum_check:    {timeit(lambda: tv_j(q0, t0), args.reps):8.3f} ms")
+
+    slm_j = jax.jit(lambda: matcher.search_local_map(
+        tv, m.mp_desc, fr, fr.valid & False, cfg))
+    print(f"search_local_map: {timeit(slm_j, args.reps):8.3f} ms")
+
+    spp_j = jax.jit(lambda q, t: matcher.search_by_projection_pose(
+        pts, m.mp_desc[:P], jnp.zeros((P,), jnp.int32),
+        jnp.ones((P,), bool), q, t, fr, cfg, th=15.0,
+        src_angle=fr.kps.angle, check_rotation=True, widen_below=20))
+    print(f"search_by_proj:   {timeit(lambda: spp_j(q0, t0), args.reps):8.3f} ms")
+
+    commit_j = jax.jit(lambda mm, need: map_state.commit_keyframe(
+        mm, fr, q0, t0, jnp.int32(5), jnp.full((P,), -1, jnp.int32),
+        need, cfg, close_only=True, max_spawn=P)[0])
+    need = jnp.array(True)
+    print(f"commit_keyframe:  {timeit(lambda: commit_j(m, need), args.reps):8.3f} ms")
+
     # full tracking frame-step via one 16-frame chunk / 16
     tracker = Tracker(cfg)
     grays = np.stack([ds[i][0] for i in range(4)] * 4)
