@@ -36,9 +36,47 @@ def gaussian_blur_7x7(img: jnp.ndarray, sigma: float = 2.0) -> jnp.ndarray:
     return cols
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _resize_weights(n_src: int, n_dst: int):
+    """(n_dst, n_src) bilinear interpolation matrix with half-pixel centers
+    (cv::resize INTER_LINEAR / jax.image.resize 'linear' semantics)."""
+    import numpy as np
+    scale = n_src / n_dst
+    src = (np.arange(n_dst) + 0.5) * scale - 0.5
+    i0 = np.clip(np.floor(src).astype(np.int64), 0, n_src - 1)
+    i1 = np.minimum(i0 + 1, n_src - 1)
+    f = np.clip(src - i0, 0.0, 1.0)
+    W = np.zeros((n_dst, n_src), np.float32)
+    W[np.arange(n_dst), i0] += 1.0 - f
+    W[np.arange(n_dst), i1] += f
+    return W
+
+
 def resize_linear(img: jnp.ndarray, shape) -> jnp.ndarray:
-    """Bilinear resize with half-pixel centers (== cv::resize INTER_LINEAR)."""
+    """Bilinear resize with half-pixel centers (== cv::resize INTER_LINEAR).
+
+    Kept on jax.image.resize: an MXU formulation (two dense
+    interpolation-matrix products, see resize_matmul) measured 4% SLOWER
+    end-to-end in the tracking chunk — the per-level weight matrices
+    reload from HBM every frame while the gather-based lowering stays in
+    registers/VMEM."""
     return jax.image.resize(img, shape, method="linear", antialias=False)
+
+
+def resize_matmul(img: jnp.ndarray, shape) -> jnp.ndarray:
+    """Bilinear resize as two interpolation-matrix matmuls (separable
+    bilinear = row weights @ img @ col weights^T). Numerically identical to
+    resize_linear (max diff ~0.01 gray level); kept for workloads where the
+    MXU is idle and HBM is not the constraint."""
+    Hs, Ws = img.shape
+    Hd, Wd = shape
+    Wh = jnp.asarray(_resize_weights(Hs, Hd))
+    Ww = jnp.asarray(_resize_weights(Ws, Wd))
+    with jax.default_matmul_precision("float32"):
+        return Wh @ img @ Ww.T
 
 
 def quantize_u8(img: jnp.ndarray) -> jnp.ndarray:
