@@ -293,6 +293,33 @@ class System:
         self.tracker.attach_map(m)
         return True
 
+    def merge_map(self, path: str, fix_scale: bool = None) -> bool:
+        """Merge a previously saved session's map into the live one
+        (multi-session joint mapping, pipeline/map_merge.py): align by
+        place recognition + Sim3, concatenate, and let the loop closer
+        weld the seam on its next pass. Returns success."""
+        from orb_slam_2_ros_tpu.config import SENSOR_MONOCULAR
+        from orb_slam_2_ros_tpu.pipeline import map_merge
+        data = np.load(path)
+        m2 = map_state.MapState(**{f: jnp.asarray(data[f])
+                                   for f in map_state.MapState._fields})
+        if self.vocab is None:
+            self.vocab = default_vocabulary(self.cfg)
+        if fix_scale is None:
+            fix_scale = self.cfg.sensor != SENSOR_MONOCULAR
+        merged, info = map_merge.merge_maps(
+            self.tracker.carry.m, m2, self.vocab, self.cfg,
+            fix_scale=fix_scale)
+        if merged is None:
+            return False
+        self.tracker.adopt_map(merged)
+        if self.loop_closer is not None:
+            # force the BoW index to re-ingest from scratch so the merged
+            # rows enter the database
+            from orb_slam_2_ros_tpu.pipeline.loop_closing import empty_state
+            self.loop_closer.state = empty_state(self.cfg)
+        return True
+
     # --------------------------------------------------------- trajectories
 
     def save_trajectory_tum(self, path: str):

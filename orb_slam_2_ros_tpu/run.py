@@ -41,6 +41,9 @@ def main(argv=None):
     ap.add_argument("--localization-only", action="store_true")
     ap.add_argument("--save-map", help="write map npz on exit")
     ap.add_argument("--load-map", help="load map npz at start")
+    ap.add_argument("--merge-map",
+                    help="merge a saved session's map npz into this run's "
+                         "map after tracking (multi-session joint mapping)")
     ap.add_argument("--vocab", help="vocabulary file (.bin/.txt/.npz)")
     ap.add_argument("--save-traj", help="write TUM trajectory on exit")
     ap.add_argument("--save-kf-traj", help="write TUM keyframe trajectory")
@@ -153,6 +156,10 @@ def main(argv=None):
         print("trajectory ->", args.save_traj)
     if args.save_kf_traj:
         sys_.save_keyframe_trajectory_tum(args.save_kf_traj)
+    if args.merge_map:
+        ok = sys_.merge_map(args.merge_map)
+        print(f"merge {args.merge_map}: {'aligned' if ok else 'REJECTED'}; "
+              f"{len(sys_.map_points())} points total")
     if args.save_map:
         sys_.save_map(args.save_map)
         print("map ->", args.save_map)
