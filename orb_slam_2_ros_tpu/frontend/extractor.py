@@ -281,6 +281,13 @@ def extract_with_pyramid(img: jnp.ndarray, cfg: OrbConfig):
     H, W = img.shape
     img = quantize_u8(img)
 
+    # NOTE on the pyramid: the resize chain is the extractor's largest cost
+    # (~1.1 ms standalone). Two alternatives were built and measured SLOWER:
+    # interpolation-matrix matmuls in XLA (ops/image.resize_matmul, -4% fps
+    # end-to-end) and the same chain fused into one Pallas kernel with all
+    # levels resident in VMEM (mosaic's HIGHEST-precision matmul on these
+    # skinny unaligned shapes: 2.7 ms vs 1.9 ms). The gather-based
+    # jax.image.resize chain stays.
     xs_l, ys_l, rs, octs, valids, angles, descs = [], [], [], [], [], [], []
     pyramid = []
     level_img = img
