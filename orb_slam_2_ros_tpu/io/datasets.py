@@ -21,12 +21,34 @@ try:
 except ImportError:                      # pragma: no cover
     cv2 = None
 
+from orb_slam_2_ros_tpu import native
+
 
 def _imread_gray(path: str) -> np.ndarray:
-    img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
-    if img is None:
+    """Grayscale decode, preferring the native C++ decoder (PNG/PGM/PPM ->
+    u8, OpenCV-exact BT.601 conversion); cv2 fallback."""
+    if native.load() is not None:
+        return native.decode_gray8(path).astype(np.float32)
+    img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)   # pragma: no cover
+    if img is None:                                 # pragma: no cover
         raise FileNotFoundError(path)
-    return img.astype(np.float32)
+    return img.astype(np.float32)                   # pragma: no cover
+
+
+def make_prefetcher(ds, n_threads: int = 4, ring_cap: int = 32):
+    """Build a native threaded prefetcher over a file-based dataset
+    (native/dataset_loader.cc): worker threads decode frames into wire-format
+    buffers (u8 gray; u16 mm depth / u8 right image) while the device
+    computes. Returns None when the dataset isn't file-based or the native
+    library is unavailable — callers fall back to indexed __getitem__."""
+    if native.load() is None or not hasattr(ds, "wire_paths"):
+        return None
+    paths_a, paths_b, mode, depth_factor = ds.wire_paths()
+    probe = _imread_gray(paths_a[0])
+    h, w = probe.shape
+    return native.Prefetcher(paths_a, paths_b, mode, w, h,
+                             depth_factor=depth_factor, n_threads=n_threads,
+                             ring_cap=ring_cap)
 
 
 def associate(ts_a: np.ndarray, ts_b: np.ndarray,
@@ -86,11 +108,21 @@ class TumRGBD:
 
     def __getitem__(self, i):
         gray = _imread_gray(os.path.join(self.root, self.rgb_files[i]))
-        d16 = cv2.imread(os.path.join(self.root, self.depth_files[i]),
-                         cv2.IMREAD_UNCHANGED)
-        depth = d16.astype(np.float32) / self.depth_factor
-        depth[d16 == 0] = -1.0
+        dpath = os.path.join(self.root, self.depth_files[i])
+        if native.load() is not None:
+            mm = native.decode_depth_mm(dpath, self.depth_factor)
+            depth = mm.astype(np.float32) * 1e-3
+            depth[mm == 0] = -1.0
+        else:                                       # pragma: no cover
+            d16 = cv2.imread(dpath, cv2.IMREAD_UNCHANGED)
+            depth = d16.astype(np.float32) / self.depth_factor
+            depth[d16 == 0] = -1.0
         return gray, depth
+
+    def wire_paths(self):
+        return ([os.path.join(self.root, p) for p in self.rgb_files],
+                [os.path.join(self.root, p) for p in self.depth_files],
+                native.MODE_RGBD, self.depth_factor)
 
     def gt_trajectory(self):
         """(timestamps, poses_wc) from groundtruth.txt if present."""
@@ -118,6 +150,12 @@ class KittiOdometry:
         left = _imread_gray(os.path.join(self.left_dir, name))
         right = _imread_gray(os.path.join(self.right_dir, name))
         return left, right
+
+    def wire_paths(self):
+        names = [f"{i:06d}.png" for i in range(self.n)]
+        return ([os.path.join(self.left_dir, p) for p in names],
+                [os.path.join(self.right_dir, p) for p in names],
+                native.MODE_STEREO, 1.0)
 
     def gt_trajectory(self):
         poses = []
@@ -187,3 +225,7 @@ class EurocMav:
     def __getitem__(self, i):
         return (_imread_gray(self.left_files[i]),
                 _imread_gray(self.right_files[i]))
+
+    def wire_paths(self):
+        return (list(self.left_files), list(self.right_files),
+                native.MODE_STEREO, 1.0)

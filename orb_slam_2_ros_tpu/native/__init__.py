@@ -52,6 +52,21 @@ def load() -> Optional[ctypes.CDLL]:
     lib.write_orbvoc_bin.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                      ctypes.c_int, i32p, u8p, u8p, f64p,
                                      ctypes.c_long]
+    u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+    lib.decode_gray8.restype = ctypes.c_int
+    lib.decode_gray8.argtypes = [ctypes.c_char_p, u8p, ip, ip]
+    lib.decode_depth_mm.restype = ctypes.c_int
+    lib.decode_depth_mm.argtypes = [ctypes.c_char_p, ctypes.c_double, u16p,
+                                    ip, ip]
+    lib.loader_create.restype = ctypes.c_void_p
+    lib.loader_create.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                  ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                  ctypes.c_double, ctypes.c_int, ctypes.c_int]
+    lib.loader_next.restype = ctypes.c_int
+    lib.loader_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                ctypes.c_void_p]
+    lib.loader_destroy.restype = None
+    lib.loader_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -77,6 +92,115 @@ def parse_orbvoc(path: str, max_nodes: int = 1_200_000):
         return None
     return (int(k.value), int(L.value), parents[:n], is_leaf[:n].astype(bool),
             descs[:n], weights[:n])
+
+
+def decode_gray8(path: str, max_h: int = 4096,
+                 max_w: int = 8192) -> Optional[np.ndarray]:
+    """Decode a PNG/PGM/PPM to u8 grayscale with the native decoder (OpenCV
+    fixed-point BT.601 conversion, ≙ the reference's cvtColor path,
+    ``Tracking.cc:173-276``). None when native is unavailable; raises on
+    decode failure."""
+    lib = load()
+    if lib is None:
+        return None
+    out = np.empty((max_h, max_w), np.uint8)
+    w = ctypes.c_int(max_w)
+    h = ctypes.c_int(max_h)
+    if lib.decode_gray8(path.encode(), out, ctypes.byref(w),
+                        ctypes.byref(h)) != 0:
+        raise IOError(f"native decode failed: {path}")
+    return np.ascontiguousarray(out.ravel()[:w.value * h.value]
+                                .reshape(h.value, w.value))
+
+
+def decode_depth_mm(path: str, depth_factor: float, max_h: int = 4096,
+                    max_w: int = 8192) -> Optional[np.ndarray]:
+    """Decode a 16-bit depth PNG to u16 millimetres (wire format):
+    mm = raw * 1000 / depth_factor (TUM factor 5000, ``Tracking.cc:151-157``).
+    None when native is unavailable; raises on decode failure."""
+    lib = load()
+    if lib is None:
+        return None
+    out = np.empty((max_h, max_w), np.uint16)
+    w = ctypes.c_int(max_w)
+    h = ctypes.c_int(max_h)
+    if lib.decode_depth_mm(path.encode(), depth_factor, out, ctypes.byref(w),
+                           ctypes.byref(h)) != 0:
+        raise IOError(f"native decode failed: {path}")
+    return np.ascontiguousarray(out.ravel()[:w.value * h.value]
+                                .reshape(h.value, w.value))
+
+
+MODE_MONO, MODE_RGBD, MODE_STEREO = 0, 1, 2
+
+
+class Prefetcher:
+    """Threaded native prefetch pipeline over a frame-file sequence.
+
+    Worker threads decode upcoming frames into a reusable ring of slots and
+    ``next()`` hands them out in order as wire-format arrays (u8 gray plus
+    u16-mm depth / u8 right image), so file decode overlaps device compute —
+    the engine's replacement for the reference's in-process ROS image
+    delivery (``ros/src/RGBDNode.cc:30-35`` synchronized subscribers feeding
+    the tracker from the callback thread).
+    """
+
+    def __init__(self, paths_a, paths_b, mode: int, width: int, height: int,
+                 depth_factor: float = 5000.0, n_threads: int = 4,
+                 ring_cap: int = 32):
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._n = len(paths_a)
+        self.mode = mode
+        self.w, self.h = width, height
+        pb = "\n".join(paths_b or []).encode()
+        self._handle = lib.loader_create(
+            "\n".join(paths_a).encode(), pb, mode, width, height,
+            depth_factor, n_threads, ring_cap)
+        if not self._handle:
+            raise RuntimeError("loader_create failed")
+
+    def __len__(self):
+        return self._n
+
+    def next(self):
+        """(gray u8 (H, W), aux) — aux is u16 mm depth for RGB-D, u8 gray for
+        stereo, None for mono. Returns None at end of stream."""
+        gray = np.empty((self.h, self.w), np.uint8)
+        if self.mode == MODE_RGBD:
+            aux = np.empty((self.h, self.w), np.uint16)
+        elif self.mode == MODE_STEREO:
+            aux = np.empty((self.h, self.w), np.uint8)
+        else:
+            aux = None
+        rc = self._lib.loader_next(
+            self._handle, gray.ctypes.data_as(ctypes.c_void_p),
+            aux.ctypes.data_as(ctypes.c_void_p) if aux is not None else None)
+        if rc == -1:
+            return None
+        if rc == -2:
+            raise IOError("native decode failed mid-stream")
+        return gray, aux
+
+    def __iter__(self):
+        while True:
+            item = self.next()
+            if item is None:
+                return
+            yield item
+
+    def close(self):
+        if self._handle:
+            self._lib.loader_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):   # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def write_orbvoc_bin(path: str, k: int, L: int, parents, is_leaf, descs,

@@ -92,7 +92,13 @@ class System:
 
     def track_chunk(self, grays, depths=None, timestamps=None,
                     defer_fetch: bool = False) -> List[FrameRecord]:
-        grays = np.asarray(grays, np.float32)
+        """Track a batch of frames. Accepts float images (converted to the
+        wire format on the way in) or wire-format arrays straight from the
+        native prefetcher (u8 gray + u16 mm depth / u8 right image,
+        io/datasets.make_prefetcher) — detected by dtype."""
+        wire = np.asarray(grays).dtype == np.uint8
+        if not wire:
+            grays = np.asarray(grays, np.float32)
         if depths is None:      # monocular: the aux channel is unused
             depths = np.zeros_like(grays)
         if timestamps is None:
@@ -102,8 +108,9 @@ class System:
         if not self._mono_initialized:
             consumed = 0
             for i in range(len(grays)):
-                out = self.mono_init.process(grays[i],
-                                             self._frame_counter + i)
+                out = self.mono_init.process(
+                    np.asarray(grays[i], np.float32),
+                    self._frame_counter + i)
                 consumed = i + 1
                 if out is not None:
                     m, q1, t1, kp_mp, cur = out
@@ -133,7 +140,7 @@ class System:
             with self.timers.time("tracking"):
                 recs += self.tracker.process_chunk(
                     grays[w0:w1], depths[w0:w1], timestamps[w0:w1],
-                    defer_fetch=defer_fetch)
+                    defer_fetch=defer_fetch, prestaged=wire)
             # mapping: one windowed-BA step per chunk, unconditionally —
             # checking "was a keyframe inserted?" would need a device fetch,
             # which permanently degrades the relay's launch latency
@@ -149,7 +156,14 @@ class System:
                     if closed:
                         self.tracker.adopt_map(m2)
         self._frame_counter += len(grays)
-        self._last_frame_inputs = (grays[-1], depths[-1])
+        if wire:
+            last_aux = np.asarray(depths[-1], np.float32)
+            if np.asarray(depths[-1]).dtype == np.uint16:
+                last_aux *= 1e-3   # u16 millimetres -> metres
+            self._last_frame_inputs = (np.asarray(grays[-1], np.float32),
+                                       last_aux)
+        else:
+            self._last_frame_inputs = (grays[-1], depths[-1])
         # relocalization: when the chunk ended LOST, re-acquire against the
         # BoW index (Tracking.cc:341-346 -> Relocalization)
         if recs and recs[-1].state == LOST and self.relocalizer is not None:

@@ -119,12 +119,30 @@ def main(argv=None):
     if args.profile:
         import jax
         jax.profiler.start_trace(args.profile)
+    # file-based datasets stream through the native threaded prefetcher
+    # (C++ decode -> wire-format buffers overlapping device compute,
+    # io/datasets.make_prefetcher); indexed loads otherwise
+    prefetch = None
+    if args.dataset != "synthetic":
+        from orb_slam_2_ros_tpu.io.datasets import make_prefetcher
+        prefetch = make_prefetcher(ds)
+
+    def load_chunk(i, j):
+        if prefetch is not None:
+            frames = [prefetch.next() for _ in range(j - i)]
+            a = np.stack([f[0] for f in frames])
+            b = (np.stack([f[1] for f in frames])
+                 if frames[0][1] is not None else None)
+            return a, b
+        a = np.stack([ds[k][0] for k in range(i, j)])
+        b = np.stack([ds[k][1] for k in range(i, j)])
+        return a, b
+
     t_start = time.perf_counter()
     recs_all = []
     for i in range(0, n, chunk):
         j = min(i + chunk, n)
-        a = np.stack([ds[k][0] for k in range(i, j)])
-        b = np.stack([ds[k][1] for k in range(i, j)])
+        a, b = load_chunk(i, j)
         recs = sys_.track_chunk(a, b, list(ds.timestamps[i:j]))
         recs_all += recs
         ok = sum(r.state == OK for r in recs)
@@ -132,6 +150,8 @@ def main(argv=None):
         print(f"[{i:4d}-{j:4d}) tracked {ok}/{len(recs)} (+{kfs} KF, "
               f"inliers {recs[-1].n_inliers})", flush=True)
     dt = time.perf_counter() - t_start
+    if prefetch is not None:
+        prefetch.close()
     if args.profile:
         import jax
         jax.profiler.stop_trace()
