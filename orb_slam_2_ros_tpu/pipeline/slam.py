@@ -164,6 +164,13 @@ class System:
                                        last_aux)
         else:
             self._last_frame_inputs = (grays[-1], depths[-1])
+        # localization-VO re-anchoring: tracking survives on temporal points
+        # but the map is out of sight (mbVO, Tracking.cc:385-417) — keep
+        # attempting relocalization to re-acquire map matches
+        if (recs and self.localization_only and self.relocalizer is not None
+                and recs[-1].state == OK and recs[-1].n_map_inliers < 10):
+            with self.timers.time("relocalization"):
+                self.relocalize()
         # relocalization: when the chunk ended LOST, re-acquire against the
         # BoW index (Tracking.cc:341-346 -> Relocalization)
         if recs and recs[-1].state == LOST and self.relocalizer is not None:

@@ -63,6 +63,13 @@ class TrackCarry(NamedTuple):
     ref_tracked: jnp.ndarray   # () int32 inliers at last KF insertion
     since_kf: jnp.ndarray      # () int32
     frame_id: jnp.ndarray      # () int32
+    # localization-only VO: temporal points back-projected from the previous
+    # frame's depth (UpdateLastFrame's "visual odometry" MapPoints,
+    # ``Tracking.cc:893-968``) — all-zero/inert outside localization mode
+    vo_pos: jnp.ndarray        # (P, 3) world positions
+    vo_desc: jnp.ndarray       # (P, 8) uint32 descriptors
+    vo_oct: jnp.ndarray        # (P,) int32
+    vo_ok: jnp.ndarray         # (P,) bool
 
 
 @dataclasses.dataclass
@@ -77,6 +84,10 @@ class FrameRecord:
     is_keyframe: bool
     R_wc: np.ndarray
     c_w: np.ndarray
+    # inliers that are MAP points (excludes localization-VO temporal
+    # points); n_map_inliers < 10 with state OK is the reference's mbVO
+    # "odometry drifting, map lost from view" condition (Tracking.cc:385)
+    n_map_inliers: int = 0
     # relative-pose bookkeeping (``Tracking.cc:524-540``): the frame's pose
     # expressed relative to its reference keyframe, so saved trajectories
     # reflect every later BA / loop-closure correction of that keyframe
@@ -133,11 +144,19 @@ class Tracker:
 
         P = cfg.orb.max_kps
         tc = cfg.tracking
+        # close-point depth threshold mThDepth = bf * ThDepth / fx
+        # (Tracking.cc:117-124)
+        th_close = cfg.camera.bf / cfg.camera.fx * cfg.camera.th_depth
 
         def _track_core(m, frame, q_pred, t_pred, q_last, t_last,
-                        last_mp, last_oct, last_angle):
+                        last_mp, last_oct, last_angle,
+                        vo_pos=None, vo_desc=None, vo_oct=None, vo_ok=None):
             """Two-stage matching + pose LM (TrackWithMotionModel +
-            TrackLocalMap, Tracking.cc:971-1093)."""
+            TrackLocalMap, Tracking.cc:971-1093). In localization-only mode
+            the vo_* arrays carry the previous frame's temporal
+            visual-odometry points (UpdateLastFrame, ``Tracking.cc:893-968``)
+            and join the pose edges so tracking survives leaving the mapped
+            region (``Tracking.cc:349-418``)."""
             has_last = last_mp >= 0
             src_pos = m.mp_pos[jnp.clip(last_mp, 0)]
             src_desc = m.mp_desc[jnp.clip(last_mp, 0)]
@@ -172,10 +191,33 @@ class Tracker:
             q_start = jnp.where(use_ref, q_last, q_pred)
             t_start = jnp.where(use_ref, t_last, t_pred)
 
+            # localization-VO: match unassociated keypoints against the
+            # previous frame's temporal points so the pose stays estimable
+            # with the map out of view (static branch — zero cost outside
+            # localization mode)
+            use_vo = cfg.localization_only and vo_pos is not None
+            if use_vo:
+                # vo arrays are indexed by the previous frame's keypoint
+                # slots, the same layout as last_angle
+                kp_to_vo, _ = matcher.search_by_projection_pose(
+                    vo_pos, vo_desc, vo_oct, vo_ok, q_pred, t_pred, frame,
+                    cfg, th=15.0, src_angle=last_angle, check_rotation=True,
+                    widen_below=tc.min_matches_motion)
+                kp_vo = jnp.where(kp_mp1 >= 0, -1, kp_to_vo)
+                pos1 = jnp.where((kp_mp1 >= 0)[:, None],
+                                 m.mp_pos[jnp.clip(kp_mp1, 0)],
+                                 vo_pos[jnp.clip(kp_vo, 0)])
+                valid1 = (kp_mp1 >= 0) | (kp_vo >= 0)
+            else:
+                kp_vo = jnp.full_like(kp_mp1, -1)
+                pos1 = m.mp_pos[jnp.clip(kp_mp1, 0)]
+                valid1 = kp_mp1 >= 0
+
             q1, t1, inl1, n1 = pose_optimization(
-                q_start, t_start, m.mp_pos[jnp.clip(kp_mp1, 0)], frame.uv,
-                frame.u_right, frame.kps.octave, kp_mp1 >= 0, cfg)
+                q_start, t_start, pos1, frame.uv,
+                frame.u_right, frame.kps.octave, valid1, cfg)
             kp_mp1 = jnp.where(inl1, kp_mp1, -1)
+            kp_vo = jnp.where(inl1, kp_vo, -1)
 
             tv = matcher.frustum_check(
                 q1, t1, m.mp_pos, m.mp_normal, m.mp_min_dist, m.mp_max_dist,
@@ -201,15 +243,24 @@ class Tracker:
             kp_to_mp2 = jnp.where(kp_to_c >= 0,
                                   cand[jnp.clip(kp_to_c, 0)], -1)
             kp_mp = jnp.where(kp_mp1 >= 0, kp_mp1, kp_to_mp2)
+            if use_vo:   # a local-map match supersedes a temporal VO match
+                kp_vo = jnp.where(kp_mp >= 0, -1, kp_vo)
+                pos2 = jnp.where((kp_mp >= 0)[:, None],
+                                 m.mp_pos[jnp.clip(kp_mp, 0)],
+                                 vo_pos[jnp.clip(kp_vo, 0)])
+                valid2 = (kp_mp >= 0) | (kp_vo >= 0)
+            else:
+                pos2 = m.mp_pos[jnp.clip(kp_mp, 0)]
+                valid2 = kp_mp >= 0
             q2, t2, inl2, n2 = pose_optimization(
-                q1, t1, m.mp_pos[jnp.clip(kp_mp, 0)], frame.uv, frame.u_right,
-                frame.kps.octave, kp_mp >= 0, cfg)
+                q1, t1, pos2, frame.uv, frame.u_right,
+                frame.kps.octave, valid2, cfg)
+            n_map = jnp.sum((inl2 & (kp_mp >= 0)).astype(jnp.int32))
             kp_mp = jnp.where(inl2, kp_mp, -1)
-            th_close = cfg.camera.bf / cfg.camera.fx * cfg.camera.th_depth
             close = frame.valid & (frame.depth > 0) & (frame.depth < th_close)
             n_close_tr = jnp.sum((close & (kp_mp >= 0)).astype(jnp.int32))
             n_close_free = jnp.sum((close & (kp_mp < 0)).astype(jnp.int32))
-            return q2, t2, kp_mp, n1, n2, n_close_tr, n_close_free
+            return q2, t2, kp_mp, n1, n2, n_map, n_close_tr, n_close_free
 
         def _build_frame(gray_u8, aux_w):
             # inputs arrive in wire format (u8 gray, u16 millimetre depth or
@@ -236,9 +287,10 @@ class Tracker:
             # ---------- tracking attempt (garbage but harmless pre-init)
             q_pred, t_pred = se3.compose(carry.vel_q, carry.vel_t,
                                          carry.q, carry.t)
-            q2, t2, kp_mp, n1, n2, nct, ncf = _track_core(
+            q2, t2, kp_mp, n1, n2, n_map, nct, ncf = _track_core(
                 m, frame, q_pred, t_pred, carry.q, carry.t,
-                carry.last_mp, carry.last_oct, carry.last_angle)
+                carry.last_mp, carry.last_oct, carry.last_angle,
+                carry.vo_pos, carry.vo_desc, carry.vo_oct, carry.vo_ok)
             good = ((n2 >= tc.min_inliers_local_map) & active
                     & carry.initialized)
 
@@ -286,6 +338,24 @@ class Tracker:
                 can_init, jnp.zeros(3), carry.vel_t))
             initialized = carry.initialized | can_init
 
+            # localization-VO: re-spawn temporal points from THIS frame's
+            # close depths under its final pose for the next frame's match
+            # (UpdateLastFrame, Tracking.cc:919-965; static branch)
+            if cfg.localization_only and cfg.sensor != SENSOR_MONOCULAR:
+                from orb_slam_2_ros_tpu.geometry import camera as cam_mod
+                xc = cam_mod.backproject(cfg.camera, frame.uv, frame.depth)
+                qi_w, ti_w = se3.inverse(q_new, t_new)
+                vo_pos_new = se3.apply(qi_w, ti_w, xc)
+                vo_ok_new = (frame.valid & (frame.depth > 0)
+                             & (frame.depth < th_close) & track_ok)
+                vo_pos_c = jnp.where(track_ok, vo_pos_new, carry.vo_pos)
+                vo_desc_c = jnp.where(track_ok, frame.desc, carry.vo_desc)
+                vo_oct_c = jnp.where(track_ok, frame.kps.octave, carry.vo_oct)
+                vo_ok_c = jnp.where(track_ok, vo_ok_new, carry.vo_ok)
+            else:
+                vo_pos_c, vo_desc_c = carry.vo_pos, carry.vo_desc
+                vo_oct_c, vo_ok_c = carry.vo_oct, carry.vo_ok
+
             new_carry = TrackCarry(
                 m=m, initialized=initialized, q=q_new, t=t_new,
                 vel_q=vel_q, vel_t=vel_t,
@@ -293,6 +363,8 @@ class Tracker:
                 last_oct=jnp.where(track_ok, frame.kps.octave, carry.last_oct),
                 last_angle=jnp.where(track_ok, frame.kps.angle,
                                      carry.last_angle),
+                vo_pos=vo_pos_c, vo_desc=vo_desc_c, vo_oct=vo_oct_c,
+                vo_ok=vo_ok_c,
                 ref_tracked=jnp.where(can_init, n_spawned,
                                       jnp.where(need_kf, n2,
                                                 carry.ref_tracked)),
@@ -317,7 +389,8 @@ class Tracker:
                            n2_out.astype(jnp.float32),
                            commit.astype(jnp.float32),
                            state_code.astype(jnp.float32)]),
-                qi, ti, r_ref.astype(jnp.float32)[None], q_cr, t_cr])
+                qi, ti, r_ref.astype(jnp.float32)[None], q_cr, t_cr,
+                n_map.astype(jnp.float32)[None]])
             return new_carry, out
 
         @jax.jit
@@ -346,7 +419,11 @@ class Tracker:
             last_oct=jnp.zeros((P,), jnp.int32),
             last_angle=jnp.zeros((P,), jnp.float32),
             ref_tracked=jnp.int32(0), since_kf=jnp.int32(0),
-            frame_id=jnp.int32(0))
+            frame_id=jnp.int32(0),
+            vo_pos=jnp.zeros((P, 3), jnp.float32),
+            vo_desc=jnp.zeros((P, 8), jnp.uint32),
+            vo_oct=jnp.zeros((P,), jnp.int32),
+            vo_ok=jnp.zeros((P,), bool))
 
     # ------------------------------------------------------------- host API
 
@@ -433,7 +510,8 @@ class Tracker:
                     is_keyframe=bool(is_kf > 0),
                     R_wc=_quat_to_R(qw, qx, qy, qz), c_w=np.array(row[8:11]),
                     ref_kf=int(row[11]), q_cr=np.array(row[12:16]),
-                    t_cr=np.array(row[16:19]))
+                    t_cr=np.array(row[16:19]),
+                    n_map_inliers=int(row[19]) if len(row) > 19 else int(n2))
                 self.records.append(rec)
                 recs.append(rec)
         self._pending = []
@@ -460,7 +538,10 @@ class Tracker:
         self.carry = self.carry._replace(
             q=q, t=t, vel_q=jnp.array([1.0, 0, 0, 0]), vel_t=jnp.zeros(3),
             last_mp=kp_mp, last_oct=octave, last_angle=angle,
-            initialized=jnp.array(True))
+            initialized=jnp.array(True),
+            # drop temporal VO points: their world positions were anchored
+            # to the pre-relocalization (drifted) pose
+            vo_ok=jnp.zeros_like(self.carry.vo_ok))
         self.state = OK
 
     # ------------------------------------------------------------ trajectory
