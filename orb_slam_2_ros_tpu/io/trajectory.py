@@ -128,3 +128,43 @@ def rpe(est: List[Tuple[np.ndarray, np.ndarray]],
         ang = np.arccos(np.clip((np.trace(Rd) - 1) / 2, -1, 1))
         rerr.append(ang)
     return float(np.sqrt(np.mean(np.square(terr)))), float(np.sqrt(np.mean(np.square(rerr))))
+
+
+def kitti_relative_error(est: List[Tuple[np.ndarray, np.ndarray]],
+                         gt: List[Tuple[np.ndarray, np.ndarray]],
+                         lengths: Sequence[float] = (100, 200, 300, 400,
+                                                     500, 600, 700, 800),
+                         step: int = 10):
+    """KITTI odometry devkit relative error: average translational drift
+    (fraction, multiply by 100 for %) and rotational drift (rad/m; multiply
+    by 100*180/pi for deg/100m) over all subsequences of the given lengths —
+    the t_rel / r_rel metric the ORB-SLAM2 paper reports for KITTI 00
+    (BASELINE.md). Poses are camera-to-world (R_wc, c_w) per frame.
+
+    Returns (t_rel, r_rel, n_subsequences); NaNs if the trajectory is
+    shorter than the smallest length.
+    """
+    c_gt = np.stack([c for _, c in gt])
+    seg = np.linalg.norm(np.diff(c_gt, axis=0), axis=1)
+    dist = np.concatenate([[0.0], np.cumsum(seg)])
+
+    def rel(poses, i, j):
+        Ri, ci = poses[i]
+        Rj, cj = poses[j]
+        return Ri.T @ Rj, Ri.T @ (cj - ci)
+
+    t_errs, r_errs = [], []
+    for i in range(0, len(gt), step):
+        for L in lengths:
+            j = int(np.searchsorted(dist, dist[i] + L))
+            if j >= len(gt):
+                break
+            Rg, tg = rel(gt, i, j)
+            Re, te = rel(est, i, j)
+            Rd = Re.T @ Rg
+            ang = np.arccos(np.clip((np.trace(Rd) - 1) / 2, -1, 1))
+            t_errs.append(np.linalg.norm(te - tg) / L)
+            r_errs.append(ang / L)
+    if not t_errs:
+        return float("nan"), float("nan"), 0
+    return float(np.mean(t_errs)), float(np.mean(r_errs)), len(t_errs)

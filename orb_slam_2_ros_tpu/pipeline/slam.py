@@ -52,6 +52,7 @@ class System:
         self.cfg = cfg
         self.timers = StageTimers()
         self.n_resets = 0
+        self.n_merges = 0
         self.tracker = Tracker(cfg)
         self.mapper = LocalMapper(cfg, window=ba_window) if enable_local_ba else None
         self.localization_only = cfg.localization_only
@@ -198,12 +199,23 @@ class System:
             self._mono_initialized = False
         self.n_resets += 1
 
+    @property
+    def last_big_change_idx(self) -> int:
+        """Counter of global map rewrites — loop corrections (+GBA), resets,
+        session merges. Consumers compare against a remembered value to
+        decide when to re-read the whole map, like
+        ``Map::GetLastBigChangeIdx`` (``Map.cc:76-86``,
+        ``System.cc:304-315``)."""
+        loops = self.loop_closer.n_loops_closed if self.loop_closer else 0
+        return loops + self.n_resets + self.n_merges
+
     def metrics(self) -> dict:
         """Run summary (SURVEY.md §5.5): counters + per-stage timing."""
         m = self.tracker.map
         recs = self.tracker.records
         return {
             "frames": len(recs),
+            "big_change_idx": self.last_big_change_idx,
             "keyframes": int(jax.device_get(m.n_kfs)),
             "map_points": int(np.asarray(jax.device_get(m.mp_valid)).sum()),
             "points_culled": self.n_culled_total,
@@ -334,6 +346,7 @@ class System:
         if merged is None:
             return False
         self.tracker.adopt_map(merged)
+        self.n_merges += 1
         if self.loop_closer is not None:
             # force the BoW index to re-ingest from scratch so the merged
             # rows enter the database

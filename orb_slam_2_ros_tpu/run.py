@@ -45,6 +45,9 @@ def main(argv=None):
                     help="merge a saved session's map npz into this run's "
                          "map after tracking (multi-session joint mapping)")
     ap.add_argument("--vocab", help="vocabulary file (.bin/.txt/.npz)")
+    ap.add_argument("--gt-poses",
+                    help="KITTI ground-truth poses file for --dataset kitti "
+                         "(enables ATE + t_rel/r_rel evaluation)")
     ap.add_argument("--save-traj", help="write TUM trajectory on exit")
     ap.add_argument("--save-kf-traj", help="write TUM keyframe trajectory")
     ap.add_argument("--save-debug-image", help="write final annotated frame")
@@ -171,6 +174,37 @@ def main(argv=None):
     if gt is not None:
         ate = ate_rmse(est, gt, with_scale=(sensor == SENSOR_MONOCULAR))
         print(f"ATE RMSE vs ground truth: {ate:.4f} m")
+    # dataset ground truth (TUM groundtruth.txt / KITTI poses file):
+    # evaluate the composed trajectory like evo / the KITTI devkit would
+    gt_poses = None
+    if args.dataset == "kitti" and args.gt_poses:
+        ds.poses_file = args.gt_poses
+        _, gt_poses = ds.gt_trajectory()
+        est_poses, est_ts = sys_.tracker.composed_trajectory(skip_lost=False)
+        gt_poses = gt_poses[:len(est_poses)]
+    elif args.dataset == "tum":
+        try:
+            gt_ts, gt_all = ds.gt_trajectory()
+        except OSError:
+            gt_ts = None
+        if gt_ts is not None:
+            from orb_slam_2_ros_tpu.io.datasets import associate
+            est_poses, est_ts = sys_.tracker.composed_trajectory()
+            pairs = associate(np.asarray(est_ts), np.asarray(gt_ts))
+            gt_poses = [gt_all[j] for _, j in pairs]
+            est_poses = [est_poses[i] for i, _ in pairs]
+    if gt_poses:
+        from orb_slam_2_ros_tpu.io.trajectory import kitti_relative_error
+        gt_c = np.stack([c for _, c in gt_poses])
+        est_c = np.stack([c for _, c in est_poses])
+        ate = ate_rmse(est_c, gt_c, with_scale=(sensor == SENSOR_MONOCULAR))
+        print(f"ATE RMSE vs dataset ground truth: {ate:.4f} m "
+              f"({len(gt_poses)} poses)")
+        t_rel, r_rel, n_sub = kitti_relative_error(est_poses, gt_poses)
+        if n_sub:
+            print(f"relative error: t_rel {100 * t_rel:.2f} %, "
+                  f"r_rel {r_rel * 100 * 180 / np.pi:.3f} deg/100m "
+                  f"({n_sub} subsequences)")
     if args.save_traj:
         sys_.save_trajectory_tum(args.save_traj)
         print("trajectory ->", args.save_traj)
