@@ -67,6 +67,10 @@ class OrbConfig:
     edge_threshold: int = 19  # border kept clear of kps (ORBextractor.cc:73)
     patch_size: int = 31      # rBRIEF/IC-angle patch (ORBextractor.cc:72)
     fast_cell: int = 32       # detection cell size (~30 in ORBextractor.cc:798)
+    approx_topk_recall: float = 1.0  # 1.0 = exact per-level top_k budget
+                              # selection; < 1.0 uses jax.lax.approx_max_k
+                              # at that recall target (drops up to 1-recall
+                              # of the strongest corners per level)
 
     def scale_factors(self) -> Tuple[float, ...]:
         return tuple(self.scale_factor ** i for i in range(self.n_levels))

@@ -304,8 +304,17 @@ def extract_with_pyramid(img: jnp.ndarray, cfg: OrbConfig):
             threshold=float(cfg.ini_th_fast),
             min_threshold=float(cfg.min_th_fast),
             cell=cfg.fast_cell, border=cfg.edge_threshold)
-        vals, idx = jax.lax.approx_max_k(resp_map.ravel(), budgets[lvl],
-                                         recall_target=0.95)
+        # per-level budget selection (the geometric budgets of
+        # ORBextractor.cc:444-455). Exact top_k by default; a recall < 1
+        # switches to approx_max_k, which silently drops up to (1-recall)
+        # of the strongest corners per level (measured on chip: exact
+        # top_k costs the same at these budget sizes, so exact is default)
+        if cfg.approx_topk_recall < 1.0:
+            vals, idx = jax.lax.approx_max_k(
+                resp_map.ravel(), budgets[lvl],
+                recall_target=cfg.approx_topk_recall)
+        else:
+            vals, idx = jax.lax.top_k(resp_map.ravel(), budgets[lvl])
         y = idx // Wl
         x = idx % Wl
         n_l = budgets[lvl]

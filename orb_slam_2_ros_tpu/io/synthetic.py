@@ -122,14 +122,41 @@ def orbit_trajectory(n_frames: int, radius: float = 1.0,
     return poses
 
 
+def loop_trajectory(n_frames: int, radius: float = 1.2,
+                    turns: float = 1.25):
+    """A circle inside the room, camera facing outward, swept for
+    ``turns`` revolutions: everything past one turn genuinely REVISITS the
+    first keyframes' viewpoints over several chunks, so a correct
+    place-recognition + Sim3 pipeline must close the loop (the 3-detection
+    consistency window of ``LoopClosing.cc:178-253`` needs the revisit to
+    persist). The drift a real run accumulates over the sweep is what loop
+    closure is benchmarked against (the synthetic analog of KITTI 00).
+
+    Returns list of (R_wc (3,3), c_w (3,)) camera-to-world poses.
+    """
+    poses = []
+    for i in range(n_frames):
+        th = 2 * np.pi * turns * i / (n_frames - 1)
+        c = np.array([radius * np.sin(th), 0.1 * np.sin(2 * th),
+                      radius * np.cos(th) - 0.3], np.float32)
+        # yaw th keeps the optical axis pointing outward along the motion
+        cy, sy = np.cos(th), np.sin(th)
+        R = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float32)
+        poses.append((R, c))
+    return poses
+
+
 class SyntheticRGBD:
     """Iterable RGB-D sequence with ground truth (duck-types dataset loaders)."""
 
     def __init__(self, cfg: SlamConfig, n_frames: int = 60, seed: int = 0,
-                 radius: float = 1.0, angle_range: float = 0.6):
+                 radius: float = 1.0, angle_range: float = 0.6,
+                 trajectory: str = "orbit"):
         self.cfg = cfg
         self.planes = make_room(seed)
-        self.poses = orbit_trajectory(n_frames, radius, angle_range)
+        self.poses = (loop_trajectory(n_frames, radius)
+                      if trajectory == "loop"
+                      else orbit_trajectory(n_frames, radius, angle_range))
         self.timestamps = np.arange(n_frames, dtype=np.float64) / 30.0
 
     def __len__(self):

@@ -50,6 +50,14 @@ class MapState(NamedTuple):
     mp_first_kf: jnp.ndarray  # (M,) int32 creating keyframe
     mp_dir_sum: jnp.ndarray   # (M, 3) running sum of unit viewing directions
     mp_obs_cnt: jnp.ndarray   # (M,) int32 running observation count
+    # tracking-visibility bookkeeping (``MapPoint::IncreaseVisible`` /
+    # ``IncreaseFound`` / ``GetFoundRatio``, ``MapPoint.cc:268-283``):
+    # visible += 1 whenever the tracker's frustum pass sees the point,
+    # found += 1 when the point survives the frame's pose optimization as
+    # an inlier; the found/visible ratio feeds map-point culling
+    # (``LocalMapping.cc:221``). Both start at 1 (``MapPoint.h`` ctor).
+    mp_visible: jnp.ndarray   # (M,) int32
+    mp_found: jnp.ndarray     # (M,) int32
     # ring buffer of the point's most recent observations as flat indices
     # kf * P + kp (or -1): feeds the representative-descriptor selection
     # without sorting the whole observation table (entries may go stale
@@ -97,6 +105,8 @@ def empty(cfg: SlamConfig) -> MapState:
         mp_first_kf=jnp.full((M,), -1, i32),
         mp_dir_sum=jnp.zeros((M, 3), f32),
         mp_obs_cnt=jnp.zeros((M,), i32),
+        mp_visible=jnp.ones((M,), i32),
+        mp_found=jnp.ones((M,), i32),
         mp_obs_tbl=jnp.full((M, NOBS_DESC), -1, i32),
         n_kfs=jnp.zeros((), i32),
         n_mps=jnp.zeros((), i32),
@@ -199,6 +209,8 @@ def spawn_points(state: MapState, kf_id, cfg: SlamConfig,
         mp_first_kf=scat(state.mp_first_kf, jnp.full((P,), 1, jnp.int32) * kf_id),
         mp_dir_sum=scat(state.mp_dir_sum, dirs / jnp.maximum(dist[:, None], 1e-9)),
         mp_obs_cnt=scat(state.mp_obs_cnt, jnp.ones((P,), jnp.int32)),
+        mp_visible=scat(state.mp_visible, jnp.ones((P,), jnp.int32)),
+        mp_found=scat(state.mp_found, jnp.ones((P,), jnp.int32)),
         mp_obs_tbl=scat(state.mp_obs_tbl,
                         jnp.full((P, NOBS_DESC), -1, jnp.int32).at[:, 0].set(
                             kf_id * P + jnp.arange(P, dtype=jnp.int32))),
@@ -207,6 +219,25 @@ def spawn_points(state: MapState, kf_id, cfg: SlamConfig,
         n_mps=state.n_mps + jnp.sum(spawn.astype(jnp.int32)),
     )
     return state
+
+
+def bump_visibility(state: MapState, visible_mask: jnp.ndarray,
+                    found_ids: jnp.ndarray, enable) -> MapState:
+    """One batched tracking-visibility update per frame
+    (``MapPoint::IncreaseVisible`` at ``Tracking.cc:1330-1352``,
+    ``IncreaseFound`` at ``Tracking.cc:1066-1072``; counters defined at
+    ``MapPoint.cc:268-283``): every point the frustum pass saw gets
+    visible += 1; every final pose-optimization inlier gets found += 1.
+
+    visible_mask (M,) bool; found_ids (P,) kp->map-point ids (-1 = none);
+    enable () bool gates the whole update (inactive / pre-init frames).
+    """
+    M = state.M
+    vis = state.mp_visible + (visible_mask & enable).astype(jnp.int32)
+    tgt = jnp.where((found_ids >= 0) & enable, found_ids, M)
+    fnd = jnp.concatenate([state.mp_found, jnp.zeros((1,), jnp.int32)])
+    fnd = fnd.at[tgt].add(1)[:M]
+    return state._replace(mp_visible=vis, mp_found=fnd)
 
 
 def observation_count(state: MapState) -> jnp.ndarray:
@@ -338,6 +369,120 @@ def refresh_point_stats(state: MapState, cfg: SlamConfig) -> MapState:
         mp_dir_sum=jnp.where(keep[:, None], nsum, state.mp_dir_sum),
         mp_obs_cnt=jnp.where(state.mp_valid, cnt, state.mp_obs_cnt),
     )
+
+
+def compact_points(state: MapState):
+    """Re-pack valid map points to the front of the pool so culled/fused
+    rows are reused by future spawns — the functional free-list
+    (``Map::EraseMapPoint`` frees erased points, ``Map.cc:69-78``;
+    SURVEY.md §7.0/§7.2 "capacity pools with free-lists + compaction").
+    Without this, ``n_mps`` is a monotone allocator and a long sequence
+    exhausts the pool even though culling keeps the live count bounded.
+
+    Order-preserving permutation: live rows keep their relative order, so
+    age (``mp_first_kf``) and ring-buffer semantics survive. Runs inside
+    the jitted mapping step (pure gathers, ~1 ms at the 16k pool).
+
+    Returns (state, remap (M,) int32: old id -> new id, -1 if culled).
+    Callers holding map-point ids across the call (the tracker's
+    ``last_mp``) must re-index through ``remap``.
+    """
+    M = state.M
+    keep = state.mp_valid
+    new_idx = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    remap = jnp.where(keep, new_idx, -1)
+    tgt = jnp.where(keep, new_idx, M)
+    inv = jnp.zeros((M + 1,), jnp.int32).at[tgt].set(
+        jnp.arange(M, dtype=jnp.int32))[:M]
+    n_valid = jnp.sum(keep.astype(jnp.int32))
+    live = jnp.arange(M) < n_valid
+
+    def g(pool, fill=0):
+        out = pool[inv]
+        mask = live.reshape((M,) + (1,) * (pool.ndim - 1))
+        return jnp.where(mask, out, jnp.full_like(out, fill))
+
+    kf_mp = jnp.where(state.kf_mp >= 0,
+                      remap[jnp.clip(state.kf_mp, 0)], -1)
+    state = state._replace(
+        kf_mp=kf_mp,
+        mp_pos=g(state.mp_pos),
+        mp_valid=live,
+        mp_desc=g(state.mp_desc),
+        mp_normal=g(state.mp_normal),
+        mp_min_dist=g(state.mp_min_dist),
+        mp_max_dist=g(state.mp_max_dist, fill=1),
+        mp_first_kf=g(state.mp_first_kf, fill=-1),
+        mp_dir_sum=g(state.mp_dir_sum),
+        mp_obs_cnt=g(state.mp_obs_cnt),
+        mp_visible=g(state.mp_visible, fill=1),
+        mp_found=g(state.mp_found, fill=1),
+        mp_obs_tbl=g(state.mp_obs_tbl, fill=-1),
+        n_mps=n_valid,
+    )
+    return state, remap
+
+
+def compact_keyframes(state: MapState):
+    """Re-pack valid keyframes to the front of the pool, freeing culled
+    rows for reuse (``Map::EraseKeyFrame``, ``Map.cc:81-97``;
+    ``KeyFrame::SetBadFlag`` re-parenting, ``KeyFrame.cc:553-671``).
+
+    Order-preserving, so the insertion-order chain the loop closer uses as
+    its spanning tree stays chronological. ``mp_first_kf`` entries whose
+    keyframe was culled re-anchor to the nearest SURVIVING predecessor
+    (the greedy re-parenting of ``SetBadFlag``); ring-buffer observation
+    entries on culled keyframes are dropped (refresh re-seeds them).
+
+    Returns (state, remap (K,) int32: old row -> new row, -1 if culled).
+    Host-side consumers (FrameRecord.ref_kf, the loop closer's BoW index)
+    must be re-based through ``remap`` — see ``System._compact_keyframes``.
+    """
+    K, P = state.K, state.P
+    rows = jnp.arange(K)
+    keep = state.kf_valid
+    new_idx = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    remap = jnp.where(keep, new_idx, -1)
+    tgt = jnp.where(keep, new_idx, K)
+    inv = jnp.zeros((K + 1,), jnp.int32).at[tgt].set(
+        rows.astype(jnp.int32))[:K]
+    n_valid = jnp.sum(keep.astype(jnp.int32))
+    live = rows < n_valid
+
+    # nearest surviving predecessor of every old row (for re-anchoring)
+    anc = jax.lax.associative_scan(jnp.maximum, jnp.where(keep, rows, -1))
+    anchor_remap = jnp.where(anc >= 0, remap[jnp.clip(anc, 0)], 0)
+
+    def g(pool, fill=0):
+        out = pool[inv]
+        mask = live.reshape((K,) + (1,) * (pool.ndim - 1))
+        return jnp.where(mask, out, jnp.full_like(out, fill))
+
+    first = jnp.clip(state.mp_first_kf, 0, K - 1)
+    mp_first = jnp.where(state.mp_first_kf >= 0, anchor_remap[first], -1)
+    # observation ring buffer: flat kf*P + kp indices follow their keyframe
+    tbl = state.mp_obs_tbl
+    t_kf = jnp.clip(tbl // P, 0, K - 1)
+    tbl_new = jnp.where((tbl >= 0) & keep[t_kf],
+                        remap[t_kf] * P + tbl % P, -1)
+    state = state._replace(
+        kf_q=g(state.kf_q),
+        kf_t=g(state.kf_t),
+        kf_valid=live,
+        kf_frame_id=g(state.kf_frame_id, fill=-1),
+        kf_uv=g(state.kf_uv),
+        kf_ur=g(state.kf_ur, fill=-1),
+        kf_depth=g(state.kf_depth, fill=-1),
+        kf_octave=g(state.kf_octave),
+        kf_angle=g(state.kf_angle),
+        kf_desc=g(state.kf_desc),
+        kf_kp_valid=g(state.kf_kp_valid),
+        kf_mp=g(state.kf_mp, fill=-1),
+        mp_first_kf=mp_first,
+        mp_obs_tbl=tbl_new,
+        n_kfs=n_valid,
+    )
+    return state, remap
 
 
 def covisibility(state: MapState) -> jnp.ndarray:
@@ -493,6 +638,8 @@ def commit_keyframe(state: MapState, frame: Frame, q, t, frame_id,
         mp_dir_sum=scat(state.mp_dir_sum,
                         dirs_s / jnp.maximum(dist_s[:, None], 1e-9)),
         mp_obs_cnt=scat(state.mp_obs_cnt, jnp.ones((P,), jnp.int32)),
+        mp_visible=scat(state.mp_visible, jnp.ones((P,), jnp.int32)),
+        mp_found=scat(state.mp_found, jnp.ones((P,), jnp.int32)),
         mp_obs_tbl=scat(state.mp_obs_tbl,
                         jnp.full((P, NOBS_DESC), -1,
                                  jnp.int32).at[:, 0].set(flat_idx)),

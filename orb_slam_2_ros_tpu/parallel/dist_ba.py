@@ -35,6 +35,33 @@ def pad_problem(prob: ba.BAProblem, n_shards: int) -> ba.BAProblem:
         valid=jnp.pad(prob.valid, (0, pad)))
 
 
+def distributed_gba_chunk(mesh, st: ba.GBAState, cfg: SlamConfig,
+                          n_iters: int, cg_iters: int = 100) -> ba.GBAState:
+    """One background-GBA chunk with the edge set sharded over the mesh:
+    the pipeline-integrated distributed path (LoopCloser(mesh=...) routes
+    its chunks here). Same Schur-LM sequence as the single-device chunk —
+    every edge reduction psums over ICI — so results ε-match.
+
+    The state's problem must already be padded to a multiple of the shard
+    count (pad_problem at gba_start time)."""
+    axis = cfg.mesh.mp_axis
+    rep = P()
+    edge = P(axis)
+    spec = ba.GBAState(
+        q=rep, t=rep, pos=rep, lam=rep, err=rep,
+        prob=ba.BAProblem(cam_idx=edge, mp_idx=edge, obs=edge,
+                          is_stereo=edge, inv_sigma2=edge, valid=edge),
+        cam_free=rep, mp_free=rep, n0=rep, nm0=rep)
+
+    def step(s):
+        return ba.gba_chunk(s, cfg, n_iters=n_iters, cg_iters=cg_iters,
+                            robust=False, axis_name=axis)
+
+    fn = jax.shard_map(step, mesh=mesh, in_specs=(spec,), out_specs=spec,
+                       check_vma=False)
+    return fn(st)
+
+
 def distributed_bundle_adjustment(mesh, q, t, cam_free, pos, mp_free,
                                   prob: ba.BAProblem, cfg: SlamConfig,
                                   phases=(5, 10), cg_iters: int = 20):

@@ -34,7 +34,7 @@ from orb_slam_2_ros_tpu.solvers import ba
 
 
 def create_new_map_points(m: map_state.MapState, cfg: SlamConfig,
-                          max_spawn_per_neigh: int = 256):
+                          max_spawn_per_neigh: int = 256, covis=None):
     """Triangulate new landmarks between the newest keyframe and its best
     covisible neighbors (``LocalMapping::CreateNewMapPoints``,
     ``LocalMapping.cc:239-500``): epipolar-gated descriptor matching of
@@ -46,7 +46,8 @@ def create_new_map_points(m: map_state.MapState, cfg: SlamConfig,
     K_int = camera.intrinsics(cfg.camera)
     n_neigh = cfg.map.tri_neighbors
     k = jnp.maximum(m.n_kfs - 1, 0)
-    covis = map_state.covisibility(m)
+    if covis is None:
+        covis = map_state.covisibility(m)
     w_top, idx_top = jax.lax.top_k(covis[k], n_neigh)
 
     # median scene depth of the new keyframe for the baseline gate
@@ -148,6 +149,10 @@ def create_new_map_points(m: map_state.MapState, cfg: SlamConfig,
             mp_dir_sum=pad(m.mp_dir_sum).at[tgt].set(dir1 + dir2)[:m.M],
             mp_obs_cnt=pad(m.mp_obs_cnt).at[tgt].set(
                 jnp.full((P,), 2, jnp.int32))[:m.M],
+            mp_visible=pad(m.mp_visible).at[tgt].set(
+                jnp.ones((P,), jnp.int32))[:m.M],
+            mp_found=pad(m.mp_found).at[tgt].set(
+                jnp.ones((P,), jnp.int32))[:m.M],
             mp_obs_tbl=pad(m.mp_obs_tbl).at[tgt].set(
                 jnp.full((P, map_state.NOBS_DESC), -1, jnp.int32)
                 .at[:, 0].set(k * P + i_idx)
@@ -165,7 +170,7 @@ def create_new_map_points(m: map_state.MapState, cfg: SlamConfig,
 
 
 def fuse_duplicates(m: map_state.MapState, cfg: SlamConfig,
-                    n_neigh: int = None):
+                    n_neigh: int = None, covis=None):
     """Merge duplicate landmarks between the newest keyframe and its best
     covisible neighbors (``LocalMapping::SearchInNeighbors`` +
     ``ORBmatcher::Fuse``, ``LocalMapping.cc:502-582``,
@@ -180,7 +185,8 @@ def fuse_duplicates(m: map_state.MapState, cfg: SlamConfig,
     if n_neigh is None:
         n_neigh = cfg.map.tri_neighbors
     k = jnp.maximum(m.n_kfs - 1, 0)
-    covis = map_state.covisibility(m)
+    if covis is None:
+        covis = map_state.covisibility(m)
     w_top, idx_top = jax.lax.top_k(covis[k], n_neigh)
     obs_cnt = map_state.observation_count(m)
 
@@ -243,7 +249,15 @@ def fuse_duplicates(m: map_state.MapState, cfg: SlamConfig,
     replaced = repl != jnp.arange(m.M)
     n_fused = jnp.sum(replaced.astype(jnp.int32))
     kf_mp = jnp.where(m.kf_mp >= 0, repl[jnp.clip(m.kf_mp, 0)], -1)
-    m = m._replace(kf_mp=kf_mp, mp_valid=m.mp_valid & ~replaced)
+    # Replace merges the loser's found/visible counters into the winner
+    # (MapPoint::Replace, MapPoint.cc:229-233)
+    wtgt = jnp.where(replaced, repl, m.M)
+    vis = jnp.concatenate([m.mp_visible, jnp.zeros((1,), jnp.int32)]).at[
+        wtgt].add(jnp.where(replaced, m.mp_visible, 0))[:m.M]
+    fnd = jnp.concatenate([m.mp_found, jnp.zeros((1,), jnp.int32)]).at[
+        wtgt].add(jnp.where(replaced, m.mp_found, 0))[:m.M]
+    m = m._replace(kf_mp=kf_mp, mp_valid=m.mp_valid & ~replaced,
+                   mp_visible=vis, mp_found=fnd)
     return m, n_fused
 
 
@@ -289,22 +303,45 @@ def cull_keyframes(m: map_state.MapState, cfg: SlamConfig, window: int = 20):
 
 
 class LocalMapper:
-    def __init__(self, cfg: SlamConfig, window: int = 20,
+    """Two compiled mapping programs over the same map:
+
+    - FULL: triangulation + fusion + windowed BA + point/keyframe culling +
+      compaction + stat refresh — the complete ``LocalMapping::Run`` body.
+    - LIGHT: windowed BA + point culling + compaction only.
+
+    The System alternates full/light per chunk for stereo/RGB-D (depth
+    spawning at keyframe insertion keeps the map growing between full
+    steps; triangulation/fusion/refresh at every-other-chunk cadence is
+    still denser than the reference's per-keyframe cadence at typical
+    keyframe rates) and always runs FULL for monocular, where triangulation
+    is the only landmark spawner. Measured on chip: full 348 ms, light
+    ~halves it — the difference is what keeps the whole pipeline over
+    60 fps with loop closing on.
+    """
+
+    def __init__(self, cfg: SlamConfig, window: int = 10,
                  triangulate_new_points: bool = True):
         self.cfg = cfg
         self.window = window
 
-        @jax.jit
-        def _mapping_step(m: map_state.MapState):
+        def _mapping_step(m: map_state.MapState, last_mp: jnp.ndarray,
+                          allow_compact: jnp.ndarray, full: bool):
             K, P, M = m.K, m.P, m.M
-            # new landmarks by triangulation against covisible keyframes
-            # (CreateNewMapPoints, LocalMapping.cc:239-500) — the only
-            # spawning path for monocular, far-point densifier otherwise
-            if triangulate_new_points:
-                m, _ = create_new_map_points(m, cfg)
-            # duplicate-landmark fusion in the neighborhood
-            # (SearchInNeighbors, LocalMapping.cc:502-582)
-            m, _ = fuse_duplicates(m, cfg)
+            if full:
+                # one covisibility build serves triangulation AND fusion —
+                # the reference computes it once per keyframe too
+                # (UpdateConnections in ProcessNewKeyFrame; both
+                # CreateNewMapPoints and SearchInNeighbors then read
+                # GetBestCovisibilityKeyFrames, LocalMapping.cc:247,:510)
+                covis = map_state.covisibility(m)
+                # new landmarks by triangulation against covisible keyframes
+                # (CreateNewMapPoints, LocalMapping.cc:239-500) — the only
+                # spawning path for monocular, far-point densifier otherwise
+                if triangulate_new_points:
+                    m, _ = create_new_map_points(m, cfg, covis=covis)
+                # duplicate-landmark fusion in the neighborhood
+                # (SearchInNeighbors, LocalMapping.cc:502-582)
+                m, _ = fuse_duplicates(m, cfg, covis=covis)
             n = m.n_kfs
             # compact recent-rows table: only the last W2 keyframes enter the
             # BA edge set (the free window plus fixed recent observers —
@@ -356,7 +393,16 @@ class LocalMapper:
                        else cfg.map.min_obs_cull)
             cnt = map_state.observation_count(m)
             age = n - m.mp_first_kf     # in keyframes
-            cull = m.mp_valid & (age >= 3) & (cnt < cull_th)
+            # found-ratio clause (GetFoundRatio() < 0.25f,
+            # LocalMapping.cc:221): the reference applies it only while a
+            # point sits in the recently-added list; here it applies to any
+            # point with enough tracking evidence (>= 8 frustum sightings),
+            # which additionally prunes old points that project into many
+            # frames but rarely match (documented strengthening)
+            ratio = (m.mp_found.astype(jnp.float32)
+                     / jnp.maximum(m.mp_visible, 1).astype(jnp.float32))
+            weak = (m.mp_visible >= 8) & (ratio < 0.25)
+            cull = m.mp_valid & (((age >= 3) & (cnt < cull_th)) | weak)
             m = m._replace(mp_valid=m.mp_valid & ~cull)
             kf_mp2 = jnp.where(
                 (m.kf_mp >= 0) & cull[jnp.clip(m.kf_mp, 0)], -1, m.kf_mp)
@@ -364,13 +410,42 @@ class LocalMapper:
 
             # redundant-keyframe culling (KeyFrameCulling,
             # LocalMapping.cc:686-767)
-            m, _ = cull_keyframes(m, cfg, window=window)
+            if full:
+                m, _ = cull_keyframes(m, cfg, window=window)
 
-            m = map_state.refresh_point_stats(m, cfg)
-            return m, jnp.sum(cull.astype(jnp.int32))
+            # point-pool compaction: recycle culled/fused rows so n_mps is
+            # a live count, not a monotone allocator (Map::EraseMapPoint,
+            # Map.cc:69-78; SURVEY.md §7.0 free-lists). The tracker's
+            # last-frame associations ride through the remap. Predicated
+            # off while a background GBA is in flight — its snapshot indexes
+            # the point pool, so ids must stay stable until it reconciles
+            # (the reference's mnBAGlobalForKF bookkeeping plays this role).
+            m_c, remap = map_state.compact_points(m)
+            m = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(allow_compact, new, old), m_c, m)
+            remap = jnp.where(allow_compact, remap,
+                              jnp.arange(m.M, dtype=jnp.int32))
+            last_mp = jnp.where(last_mp >= 0,
+                                remap[jnp.clip(last_mp, 0)], -1)
 
-        self._mapping_step = _mapping_step
+            if full:
+                m = map_state.refresh_point_stats(m, cfg)
+            return m, jnp.sum(cull.astype(jnp.int32)), last_mp
 
-    def run(self, m: map_state.MapState):
-        """One mapping step; returns (new_map, n_culled)."""
-        return self._mapping_step(m)
+        self._mapping_step_full = jax.jit(
+            lambda m, lmp, ac: _mapping_step(m, lmp, ac, True))
+        self._mapping_step_light = jax.jit(
+            lambda m, lmp, ac: _mapping_step(m, lmp, ac, False))
+
+    def run(self, m: map_state.MapState, last_mp: jnp.ndarray = None,
+            allow_compact: bool = True, full: bool = True):
+        """One mapping step. Returns (new_map, n_culled, last_mp') where
+        last_mp' is the caller's keypoint->map-point association vector
+        re-indexed through the compaction remap (pass the tracker's
+        ``carry.last_mp``; omitted -> a dummy is threaded through).
+        allow_compact=False freezes point-pool ids (background GBA in
+        flight); full=False runs the LIGHT program (BA + cull + compact)."""
+        if last_mp is None:
+            last_mp = jnp.full((m.P,), -1, jnp.int32)
+        step = self._mapping_step_full if full else self._mapping_step_light
+        return step(m, last_mp, jnp.asarray(allow_compact))

@@ -49,6 +49,12 @@ COVIS_EDGE_DEG = 8        # bounded covisibility degree in the pose graph
 MIN_SIM3_INLIERS = 20     # Sim3 accept gate (LoopClosing.cc:439)
 MIN_BOW_PAIRS = 20        # matches needed before trying Sim3 (:307)
 MIN_TOTAL_MATCHES = 40    # widened-projection accept (LoopClosing.cc:466)
+MAX_LOOP_EDGES = 16       # persistent loop-edge slots (KeyFrame::mspLoopEdges,
+                          # KeyFrame.cc:506-517; every past edge re-enters
+                          # each essential-graph run, Optimizer.cc:1047)
+GBA_CHUNK_ITERS = 5       # LM iterations per background-GBA chunk; the host
+                          # checks the abort condition between chunks
+                          # (SURVEY.md §2.D row 2)
 
 
 def _kf_as_frame(m: map_state.MapState, row):
@@ -72,28 +78,99 @@ class LoopState(NamedTuple):
     consist_cnt: jnp.ndarray    # (K,) int32 consecutive-consistency counts
     n_ingested: jnp.ndarray     # () int32 keyframes already in the db
     last_loop_kf: jnp.ndarray   # () int32 kf id of the last closed loop
+    # persistent loop edges: accepted (c, k) pairs with their MEASURED
+    # relative Sim3 (KeyFrame::mspLoopEdges, added at LoopClosing.cc:681-682;
+    # every stored edge re-enters each essential-graph run, Optimizer.cc:1047,
+    # so a later closure cannot reopen an earlier seam)
+    loop_ei: jnp.ndarray        # (L,) int32 loop keyframe c
+    loop_ej: jnp.ndarray        # (L,) int32 current keyframe k
+    loop_rq: jnp.ndarray        # (L, 4) measured S_kc rotation
+    loop_rt: jnp.ndarray        # (L, 3)
+    loop_rs: jnp.ndarray        # (L, 1) scale (geometry/sim3.py convention)
+    n_loop_edges: jnp.ndarray   # () int32
 
 
 def empty_state(cfg: SlamConfig) -> LoopState:
     K = cfg.map.max_kfs
+    L = MAX_LOOP_EDGES
     return LoopState(
         db=database.empty(cfg),
         kf_node=jnp.full((K, cfg.map.max_kps), -1, jnp.int32),
         consist_cnt=jnp.zeros((K,), jnp.int32),
         n_ingested=jnp.zeros((), jnp.int32),
-        last_loop_kf=jnp.full((), -1, jnp.int32))
+        last_loop_kf=jnp.full((), -1, jnp.int32),
+        loop_ei=jnp.zeros((L,), jnp.int32),
+        loop_ej=jnp.zeros((L,), jnp.int32),
+        loop_rq=jnp.tile(jnp.array([1.0, 0, 0, 0], jnp.float32), (L, 1)),
+        loop_rt=jnp.zeros((L, 3), jnp.float32),
+        loop_rs=jnp.ones((L, 1), jnp.float32),
+        n_loop_edges=jnp.zeros((), jnp.int32))
 
 
 class LoopCloser:
     def __init__(self, cfg: SlamConfig, vocab: vocabulary.Vocabulary,
-                 min_kfs_between_loops: int = 10):
+                 min_kfs_between_loops: int = 10,
+                 background_gba: bool = False, mesh=None):
         self.cfg = cfg
         self.vocab = vocab
         self.min_gap = min_kfs_between_loops
+        # background_gba=True: the post-correction global BA runs as
+        # host-stepped chunks interleaved with tracking (step_background),
+        # like the reference's detached GBA thread; False runs it to
+        # completion inside process() (simpler callers, same math)
+        self.background_gba = background_gba
+        # mesh: a jax.sharding.Mesh with a cfg.mesh.mp_axis axis — the GBA
+        # chunks shard their edge set over it and psum every reduction over
+        # ICI (parallel/dist_ba.distributed_gba_chunk, SURVEY.md §2.D)
+        self.mesh = mesh
         self.state = empty_state(cfg)
 
         @jax.jit
         def _ingest_and_detect(m: map_state.MapState, st: LoopState):
+            # one covisibility build serves every sub-step (the observation
+            # table does not change during ingestion)
+            covis = map_state.covisibility(m)                    # (K, K)
+            eye = jnp.eye(m.K, dtype=bool)
+            cand_out = jnp.int32(-1)
+            k_out = jnp.maximum(m.n_kfs - 1, 0)
+            def detect(st, k, enable):
+                """DetectLoop for keyframe k (``LoopClosing.cc:110-274``):
+                candidate query + minScore floor + 3-consecutive
+                consistency over expanded covisibility groups. Returns
+                (st, best_candidate, found)."""
+                neigh = covis[k] >= cfg.map.covis_th
+                exclude = neigh | (jnp.arange(m.K) == k)
+                # recent keyframes trivially share words — exclude a gap
+                exclude = exclude | (jnp.arange(m.K) > k - self.min_gap)
+                scores, _ = database.query(st.db, st.db.kf_word[k],
+                                           st.db.kf_wt[k], vocab.num_words)
+                min_score = jnp.min(jnp.where(neigh & st.db.kf_valid,
+                                              scores, jnp.inf))
+                min_score = jnp.where(jnp.isfinite(min_score), min_score,
+                                      0.015)
+                cand = database.detect_candidates(
+                    st.db, st.db.kf_word[k], st.db.kf_wt[k], exclude, covis,
+                    vocab.num_words, min_score=None)
+                cand = cand & (scores >= min_score) & enable
+                group = cand[:, None] & ((covis > 0) | eye)      # (K, K)
+                inherited = jnp.max(
+                    jnp.where(group, st.consist_cnt[None, :], 0), axis=1)
+                cnt = jnp.where(cand, inherited + 1, 0)
+                enough = cand & (cnt >= 3)
+                st = st._replace(consist_cnt=jnp.where(
+                    enable, cnt, st.consist_cnt))
+                best = jnp.argmax(jnp.where(enough, scores, -1.0))
+                found = (jnp.any(enough) & (m.n_kfs > self.min_gap)
+                         & (k - st.last_loop_kf > self.min_gap) & enable)
+                return st, best, found
+
+            # the reference's consumer loop pops ONE keyframe per iteration
+            # and runs DetectLoop on it (LoopClosing.cc:59-94, :110); here
+            # up to MAX_NEW_PER_STEP keyframes are ingested AND detected per
+            # pipeline step, so the 3-consecutive-keyframe consistency
+            # window (:178-253) advances at per-KEYFRAME cadence even when
+            # several keyframes land in one tracking chunk.
+            n_before = st.n_ingested
             for _ in range(MAX_NEW_PER_STEP):
                 row = jnp.minimum(st.n_ingested, m.K - 1)
                 enable = st.n_ingested < m.n_kfs
@@ -106,40 +183,19 @@ class LoopCloser:
                     kf_node=st.kf_node.at[row].set(
                         jnp.where(enable, nid, st.kf_node[row])),
                     n_ingested=st.n_ingested + enable.astype(jnp.int32))
-
-            # ---- detection with the newest keyframe
-            k = jnp.maximum(m.n_kfs - 1, 0)
-            covis = map_state.covisibility(m)                    # (K, K)
-            neigh = covis[k] >= cfg.map.covis_th
-            exclude = neigh | (jnp.arange(m.K) == k)
-            # recent keyframes can trivially share words — exclude a gap
-            exclude = exclude | (jnp.arange(m.K) > k - self.min_gap)
-
-            scores, _ = database.query(st.db, st.db.kf_word[k],
-                                       st.db.kf_wt[k], vocab.num_words)
-            min_score = jnp.min(jnp.where(neigh & st.db.kf_valid,
-                                          scores, jnp.inf))
-            min_score = jnp.where(jnp.isfinite(min_score), min_score, 0.015)
-
-            cand = database.detect_candidates(
-                st.db, st.db.kf_word[k], st.db.kf_wt[k], exclude, covis,
-                vocab.num_words, min_score=None)
-            cand = cand & (scores >= min_score)
-
-            # ---- 3-consecutive consistency over expanded groups
-            group = cand[:, None] & ((covis > 0) |
-                                     jnp.eye(m.K, dtype=bool))   # (K, K)
-            prev = st.consist_cnt                                # (K,)
-            inherited = jnp.max(jnp.where(group, prev[None, :], 0), axis=1)
-            cnt = jnp.where(cand, inherited + 1, 0)
-            enough = cand & (cnt >= 3)
-            st = st._replace(consist_cnt=cnt)
-
-            # pick the best-scoring sufficiently-consistent candidate
-            best = jnp.argmax(jnp.where(enough, scores, -1.0))
-            found = jnp.any(enough) & (m.n_kfs > self.min_gap) & (
-                k - st.last_loop_kf > self.min_gap)
-            return st, jnp.where(found, best, -1), k
+                st, best, found = detect(st, row, enable)
+                cand_out = jnp.where(found, best, cand_out)
+                k_out = jnp.where(found, row, k_out)
+            # caught-up steps (nothing ingested) re-detect the newest
+            # keyframe: a candidate that persists across steps still
+            # accumulates consistency — without this, a map whose keyframe
+            # stream has ended (static map, end of sequence) could hold a
+            # genuine revisit forever at count 2
+            newest = jnp.maximum(m.n_kfs - 1, 0)
+            st, best, found = detect(st, newest, st.n_ingested == n_before)
+            cand_out = jnp.where(found, best, cand_out)
+            k_out = jnp.where(found, newest, k_out)
+            return st, cand_out, k_out
 
         @jax.jit
         def _close(m: map_state.MapState, st: LoopState, c, k,
@@ -236,16 +292,26 @@ class LoopCloser:
             w_cov = ((w_top.reshape(-1) >= COVIS_EDGE_TH)
                      & m.kf_valid[ei_cov] & m.kf_valid[ej_cov]
                      & (ei_cov < ej_cov)).astype(jnp.float32)
-            # the loop edge c -> k with the measured relative Sim3
-            ei_all = jnp.concatenate([ei_chain, ei_cov, jnp.array([0])])
-            ej_all = jnp.concatenate([ej_chain, ej_cov, jnp.array([0])])
+            # loop edges: every PAST accepted pair with its measured
+            # relative Sim3 (KeyFrame::mspLoopEdges fed into each
+            # essential-graph run, Optimizer.cc:1047) plus the current one
+            L = MAX_LOOP_EDGES
+            past_ok = (jnp.arange(L) < st.n_loop_edges).astype(jnp.float32)
+            ei_all = jnp.concatenate([ei_chain, ei_cov, st.loop_ei,
+                                      jnp.array([0])])
+            ej_all = jnp.concatenate([ej_chain, ej_cov, st.loop_ej,
+                                      jnp.array([0])])
             ei_all = ei_all.at[-1].set(c)
             ej_all = ej_all.at[-1].set(k)
             w_all = jnp.concatenate(
-                [w_chain, w_cov,
+                [w_chain, w_cov, 2.0 * past_ok,
                  jnp.array([2.0]) * accepted.astype(jnp.float32)])
 
             rq, rt, rs = jax.vmap(rel_edge)(ei_all, ej_all)
+            base = ei_chain.shape[0] + ei_cov.shape[0]
+            rq = rq.at[base:base + L].set(st.loop_rq)
+            rt = rt.at[base:base + L].set(st.loop_rt)
+            rs = rs.at[base:base + L].set(st.loop_rs)
             rq = rq.at[-1].set(q12)
             rt = rt.at[-1].set(t12)
             rs = rs.at[-1].set(s12)
@@ -296,53 +362,199 @@ class LoopCloser:
             repl = repl.at[M].set(M)
             repl = repl[repl][:M]
             replaced = repl != jnp.arange(M)
+            # Replace merges found/visible counters (MapPoint.cc:229-233)
+            wtgt = jnp.where(replaced, repl, M)
+            vis = jnp.concatenate(
+                [m.mp_visible, jnp.zeros((1,), jnp.int32)]).at[wtgt].add(
+                jnp.where(replaced, m.mp_visible, 0))[:M]
+            fnd = jnp.concatenate(
+                [m.mp_found, jnp.zeros((1,), jnp.int32)]).at[wtgt].add(
+                jnp.where(replaced, m.mp_found, 0))[:M]
             m = m._replace(
                 kf_mp=jnp.where(m.kf_mp >= 0, repl[jnp.clip(m.kf_mp, 0)], -1),
-                mp_valid=m.mp_valid & ~replaced)
+                mp_valid=m.mp_valid & ~replaced,
+                mp_visible=vis, mp_found=fnd)
 
-            # ---- global BA (RunGlobalBundleAdjustment, LoopClosing.cc:758)
-            kp_valid = m.kf_kp_valid & m.kf_valid[:, None]
-            prob = ba.build_problem(m.kf_uv, m.kf_ur, m.kf_octave, m.kf_mp,
-                                    kp_valid, cfg)
-            cam_free = m.kf_valid & (rows > 0) & accepted
-            mp_free = m.mp_valid & accepted
-            q_pre, t_pre = m.kf_q, m.kf_t
-            # robust=False mirrors the reference: the loop GBA runs WITHOUT
-            # a Huber kernel (RunGlobalBundleAdjustment ->
-            # GlobalBundleAdjustemnt(..., bRobust=false), LoopClosing.cc:763)
-            # — the large seam residuals are the signal that pulls the
-            # drifted ring back, and a kernel would downweight exactly them
-            qg, tg, pg, edge_inl = ba.bundle_adjustment(
-                m.kf_q, m.kf_t, cam_free, m.mp_pos, mp_free, prob, cfg,
-                phases=(cfg.solver.global_ba_iters,), robust=False)
-            # propagate the BA correction to culled keyframes through their
-            # nearest surviving predecessor: T_iw_new = T_ia * T_aw_new with
-            # T_ia frozen at pre-BA poses — the spanning-tree propagation of
-            # ``RunGlobalBundleAdjustment`` (``LoopClosing.cc:790-850``),
-            # keeping culled rows usable as trajectory reference anchors.
-            anc = jax.lax.associative_scan(
-                jnp.maximum, jnp.where(m.kf_valid & exists, rows, -1))
-            a = jnp.clip(anc, 0)
-            q_ia, t_ia = se3.relative(q_pre, t_pre, q_pre[a], t_pre[a])
-            q_prop, t_prop = se3.compose(q_ia, t_ia, qg[a], tg[a])
-            prop = exists & ~m.kf_valid & accepted & (anc >= 0)
-            qg = jnp.where(prop[:, None], q_prop, qg)
-            tg = jnp.where(prop[:, None], t_prop, tg)
-            m = m._replace(kf_q=qg, kf_t=tg, mp_pos=pg)
+            # NOTE: the global BA no longer runs here. It is chunked and
+            # host-stepped so tracking keeps flowing while it refines
+            # (_gba_start/_gba_step/_gba_finish below — the functional
+            # analog of the reference's detached, abortable GBA thread,
+            # LoopClosing.cc:689, :758-862).
 
+            # record the accepted pair as a persistent loop edge
+            # (LoopClosing.cc:681-682 AddLoopEdge both ways)
+            slot = jnp.minimum(st.n_loop_edges, L - 1)
+            acc_i = accepted.astype(jnp.int32)
             st = st._replace(
                 last_loop_kf=jnp.where(accepted, k, st.last_loop_kf),
                 consist_cnt=jnp.where(accepted,
                                       jnp.zeros_like(st.consist_cnt),
-                                      st.consist_cnt))
+                                      st.consist_cnt),
+                loop_ei=st.loop_ei.at[slot].set(
+                    jnp.where(accepted, c, st.loop_ei[slot])),
+                loop_ej=st.loop_ej.at[slot].set(
+                    jnp.where(accepted, k, st.loop_ej[slot])),
+                loop_rq=st.loop_rq.at[slot].set(
+                    jnp.where(accepted, q12, st.loop_rq[slot])),
+                loop_rt=st.loop_rt.at[slot].set(
+                    jnp.where(accepted, t12, st.loop_rt[slot])),
+                loop_rs=st.loop_rs.at[slot].set(
+                    jnp.where(accepted, s12, st.loop_rs[slot])),
+                n_loop_edges=jnp.minimum(st.n_loop_edges + acc_i, L))
             return m, st, accepted, n_inl
+
+        # ---- chunked, abortable global BA (RunGlobalBundleAdjustment,
+        # LoopClosing.cc:758-862; robust=False mirrors the reference:
+        # GlobalBundleAdjustemnt(..., bRobust=false), LoopClosing.cc:763 —
+        # the large seam residuals ARE the signal, a kernel would
+        # downweight exactly them)
+
+        n_edge_shards = (mesh.shape[cfg.mesh.mp_axis]
+                         if mesh is not None else 1)
+
+        @jax.jit
+        def _gba_start(m: map_state.MapState) -> ba.GBAState:
+            from orb_slam_2_ros_tpu.parallel.dist_ba import pad_problem
+            rows = jnp.arange(m.K)
+            kp_valid = m.kf_kp_valid & m.kf_valid[:, None]
+            prob = ba.build_problem(m.kf_uv, m.kf_ur, m.kf_octave, m.kf_mp,
+                                    kp_valid, cfg)
+            prob = pad_problem(prob, n_edge_shards)
+            cam_free = m.kf_valid & (rows > 0)
+            return ba.gba_init(m.kf_q, m.kf_t, cam_free, m.mp_pos,
+                               m.mp_valid, prob, m.n_kfs, m.n_mps, cfg,
+                               robust=False)
+
+        if mesh is None:
+            @jax.jit
+            def _gba_step(st: ba.GBAState) -> ba.GBAState:
+                return ba.gba_chunk(st, cfg, n_iters=GBA_CHUNK_ITERS,
+                                    robust=False)
+        else:
+            from orb_slam_2_ros_tpu.parallel import dist_ba
+
+            @jax.jit
+            def _gba_step(st: ba.GBAState) -> ba.GBAState:
+                return dist_ba.distributed_gba_chunk(
+                    mesh, st, cfg, n_iters=GBA_CHUNK_ITERS)
+
+        @jax.jit
+        def _gba_finish(m: map_state.MapState, st: ba.GBAState):
+            """Reconcile the GBA snapshot with the live map: keyframes and
+            points that were IN the GBA take the optimized values; anything
+            created (or culled) while it ran is corrected through its
+            nearest in-GBA ancestor at the CURRENT relative pose — the
+            spanning-tree propagation of ``RunGlobalBundleAdjustment``
+            (``LoopClosing.cc:790-850``, ``mTcwGBA``/``mnBAGlobalForKF``)."""
+            K, M = m.K, m.M
+            rows = jnp.arange(K)
+            exists = rows < m.n_kfs
+            known = (st.cam_free | (rows == 0)) & (rows < st.n0)
+            anc = jax.lax.associative_scan(
+                jnp.maximum, jnp.where(known, rows, -1))
+            a = jnp.clip(anc, 0)
+            # current relative pose to the anchor, composed with the
+            # anchor's optimized pose: T_iw' = (T_iw T_aw^-1) T_aw_gba
+            q_ia, t_ia = se3.relative(m.kf_q, m.kf_t, m.kf_q[a], m.kf_t[a])
+            q_prop, t_prop = se3.compose(q_ia, t_ia, st.q[a], st.t[a])
+            use_prop = exists & ~known & (anc >= 0)
+            q_new = jnp.where(known[:, None], st.q,
+                              jnp.where(use_prop[:, None], q_prop, m.kf_q))
+            t_new = jnp.where(known[:, None], st.t,
+                              jnp.where(use_prop[:, None], t_prop, m.kf_t))
+            # points: in-GBA points take optimized positions; points created
+            # during the GBA re-express through their reference keyframe
+            in_gba = (jnp.arange(M) < st.nm0) & st.mp_free
+            r = jnp.clip(m.mp_first_kf, 0, K - 1)
+            x_r = se3.apply(m.kf_q[r], m.kf_t[r], m.mp_pos)
+            qi, ti = se3.inverse(q_new[r], t_new[r])
+            p_prop = se3.apply(qi, ti, x_r)
+            prop_pt = m.mp_valid & ~in_gba & (m.mp_first_kf >= 0)
+            pos_new = jnp.where(in_gba[:, None], st.pos,
+                                jnp.where(prop_pt[:, None], p_prop,
+                                          m.mp_pos))
+            return m._replace(kf_q=q_new, kf_t=t_new, mp_pos=pos_new)
 
         self._ingest_and_detect = _ingest_and_detect
         self._close = _close
+        self._gba_start = _gba_start
+        self._gba_step = _gba_step
+        self._gba_finish = _gba_finish
         self._key = jax.random.PRNGKey(cfg.seed)
         self.n_loops_closed = 0
+        # in-flight GBA handle (None = idle); dropping it aborts — the
+        # mnFullBAIdx invalidation protocol (LoopClosing.cc:490-502)
+        self.gba: Optional[ba.GBAState] = None
+        self._gba_iters_done = 0
+        self.n_gba_aborts = 0
+        self.n_gba_finished = 0
 
     # ------------------------------------------------------------- host API
+
+    def apply_kf_compaction(self, remap_np):
+        """Re-index the BoW database and loop bookkeeping after keyframe-pool
+        compaction (``map_state.compact_keyframes``): rows moved with the
+        same order-preserving permutation; culled rows dropped. Rare
+        host-synchronous event — plain numpy permute + re-upload."""
+        import numpy as np
+        st = self.state
+        K = len(remap_np)
+        kept_old = np.flatnonzero(remap_np >= 0)
+        inv = np.zeros(K, np.int64)           # new row -> old row
+        inv[:len(kept_old)] = kept_old
+        live = np.arange(K) < len(kept_old)
+
+        def g(arr, fill=0):
+            a = np.asarray(jax.device_get(arr))
+            out = a[inv]
+            out[~live] = fill
+            return jnp.asarray(out)
+
+        db = st.db._replace(kf_word=g(st.db.kf_word, -1),
+                            kf_wt=g(st.db.kf_wt, 0.0),
+                            kf_valid=g(st.db.kf_valid, False))
+        # ingested rows form a prefix before AND after an order-preserving
+        # compaction, so the new count is just the kept-ingested count
+        n_ing = int(jax.device_get(st.n_ingested))
+        n_ing2 = int((kept_old < n_ing).sum())
+        llk = int(jax.device_get(st.last_loop_kf))
+        if llk >= 0:
+            # keep the loop-gap guard anchored at the nearest surviving row
+            anchor = np.maximum.accumulate(
+                np.where(remap_np >= 0, np.arange(K), -1))
+            llk2 = int(remap_np[anchor[llk]]) if anchor[llk] >= 0 else -1
+        else:
+            llk2 = -1
+        # loop edges: re-index endpoints; edges touching a culled keyframe
+        # are dropped (their measured Sim3 refers to a removed frame)
+        L = MAX_LOOP_EDGES
+        nle = int(jax.device_get(st.n_loop_edges))
+        lei = np.asarray(jax.device_get(st.loop_ei))[:nle]
+        lej = np.asarray(jax.device_get(st.loop_ej))[:nle]
+        lrq = np.asarray(jax.device_get(st.loop_rq))[:nle]
+        lrt = np.asarray(jax.device_get(st.loop_rt))[:nle]
+        lrs = np.asarray(jax.device_get(st.loop_rs))[:nle]
+        keep_e = (remap_np[lei] >= 0) & (remap_np[lej] >= 0)
+        lei2 = np.zeros(L, np.int32)
+        lej2 = np.zeros(L, np.int32)
+        lrq2 = np.tile(np.array([1.0, 0, 0, 0], np.float32), (L, 1))
+        lrt2 = np.zeros((L, 3), np.float32)
+        lrs2 = np.ones((L, 1), np.float32)
+        n_kept = int(keep_e.sum())
+        lei2[:n_kept] = remap_np[lei[keep_e]]
+        lej2[:n_kept] = remap_np[lej[keep_e]]
+        lrq2[:n_kept] = lrq[keep_e]
+        lrt2[:n_kept] = lrt[keep_e]
+        lrs2[:n_kept] = lrs[keep_e]
+        self.state = st._replace(
+            db=db, kf_node=g(st.kf_node, -1),
+            consist_cnt=g(st.consist_cnt, 0),
+            n_ingested=jnp.int32(n_ing2),
+            last_loop_kf=jnp.int32(llk2),
+            loop_ei=jnp.asarray(lei2), loop_ej=jnp.asarray(lej2),
+            loop_rq=jnp.asarray(lrq2), loop_rt=jnp.asarray(lrt2),
+            loop_rs=jnp.asarray(lrs2),
+            n_loop_edges=jnp.int32(n_kept))
 
     def process(self, m: map_state.MapState):
         """One loop-closing step: ingest new keyframes, detect, and — when a
@@ -361,5 +573,41 @@ class LoopCloser:
         if accepted:
             self.state = st2
             self.n_loops_closed += 1
+            # a newer loop invalidates any in-flight GBA — its snapshot
+            # predates this correction (mnFullBAIdx, LoopClosing.cc:490-502)
+            if self.gba is not None:
+                self.gba = None
+                self.n_gba_aborts += 1
+            self.gba = self._gba_start(m2)
+            self._gba_iters_done = 0
+            if not self.background_gba:
+                m2 = self.run_gba_to_completion(m2)
             return m2, True
         return m, False
+
+    @property
+    def gba_running(self) -> bool:
+        """The ``gba_running`` observability flag (``ros/src/Node.cc:194``)."""
+        return self.gba is not None
+
+    def step_background(self, m: map_state.MapState):
+        """Advance the in-flight GBA by one chunk; on the final chunk,
+        reconcile with the live map. Returns (map, finished). The caller
+        interleaves this with tracking chunks — tracking records keep
+        flowing while the GBA refines (the reference's detached thread,
+        ``LoopClosing.cc:689``)."""
+        if self.gba is None:
+            return m, False
+        self.gba = self._gba_step(self.gba)
+        self._gba_iters_done += GBA_CHUNK_ITERS
+        if self._gba_iters_done >= self.cfg.solver.global_ba_iters:
+            m = self._gba_finish(m, self.gba)
+            self.gba = None
+            self.n_gba_finished += 1
+            return m, True
+        return m, False
+
+    def run_gba_to_completion(self, m: map_state.MapState):
+        while self.gba is not None:
+            m, _ = self.step_background(m)
+        return m

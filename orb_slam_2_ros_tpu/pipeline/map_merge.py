@@ -202,6 +202,8 @@ def concat_maps(m1: map_state.MapState,
         mp_first_kf=cat_pts(m1.mp_first_kf, first2),
         mp_dir_sum=cat_pts(m1.mp_dir_sum, m2.mp_dir_sum),
         mp_obs_cnt=cat_pts(m1.mp_obs_cnt, m2.mp_obs_cnt),
+        mp_visible=cat_pts(m1.mp_visible, m2.mp_visible),
+        mp_found=cat_pts(m1.mp_found, m2.mp_found),
         mp_obs_tbl=cat_pts(m1.mp_obs_tbl, tbl2),
         n_kfs=jnp.int32(n1 + n2),
         n_mps=jnp.int32(p1 + p2),

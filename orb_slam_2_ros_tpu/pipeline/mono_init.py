@@ -92,6 +92,10 @@ class MonoInitializer:
                 mp_dir_sum=pad(m.mp_dir_sum).at[tgt].set(dirs)[:m.M],
                 mp_obs_cnt=pad(m.mp_obs_cnt).at[tgt].set(
                     jnp.full((P,), 2, jnp.int32))[:m.M],
+                mp_visible=pad(m.mp_visible).at[tgt].set(
+                    jnp.ones((P,), jnp.int32))[:m.M],
+                mp_found=pad(m.mp_found).at[tgt].set(
+                    jnp.ones((P,), jnp.int32))[:m.M],
                 kf_mp=m.kf_mp
                 .at[0, jnp.where(spawn, ridx, P)].set(
                     jnp.where(spawn, new_id, -1), mode="drop")

@@ -46,8 +46,8 @@ def default_vocabulary(cfg: SlamConfig):
 
 class System:
     def __init__(self, cfg: SlamConfig, enable_local_ba: bool = True,
-                 ba_window: int = 20, load_map: Optional[str] = None,
-                 enable_loop_closing: bool = False, vocab=None):
+                 ba_window: int = 10, load_map: Optional[str] = None,
+                 enable_loop_closing: bool = True, vocab=None, mesh=None):
         from orb_slam_2_ros_tpu.pipeline.metrics import StageTimers
         self.cfg = cfg
         self.timers = StageTimers()
@@ -64,16 +64,31 @@ class System:
         self.loop_closer = None
         self.relocalizer = None
         self.vocab = vocab
+        self.mesh = mesh
         if enable_loop_closing or cfg.localization_only or load_map:
             from orb_slam_2_ros_tpu.pipeline.loop_closing import LoopCloser
             from orb_slam_2_ros_tpu.pipeline.relocalization import Relocalizer
             if self.vocab is None:
                 self.vocab = default_vocabulary(cfg)
             self.relocalizer = Relocalizer(cfg, self.vocab)
-            self.loop_closer = LoopCloser(cfg, self.vocab)
+            # mesh (optional jax.sharding.Mesh): the loop GBA shards its
+            # edge set over cfg.mesh.mp_axis and psums every reduction
+            # over ICI — the pipeline-integrated distributed-BA path
+            # (SURVEY.md §2.D; parallel/dist_ba.py)
+            self.loop_closer = LoopCloser(cfg, self.vocab,
+                                          background_gba=True, mesh=mesh)
         import jax
         self._reloc_key = jax.random.PRNGKey(cfg.seed + 1)
         self._last_frame_inputs = None
+        # keyframe-pool recycling: every KF_COMPACT_CHECK_EVERY chunks one
+        # scalar fetch checks the pool level; above the watermark the culled
+        # rows are compacted away (Map::EraseKeyFrame, Map.cc:81-97)
+        self._chunks_since_kf_check = 0
+        self._kf_compact_watermark = 0.85
+        # alternate FULL / LIGHT mapping steps (LocalMapper docstring);
+        # monocular always runs FULL (triangulation is its only spawner)
+        self._map_full_toggle = True
+        self.n_kf_compactions = 0
         # monocular bootstrap (MonocularInitialization, Tracking.cc:633-816)
         self.mono_init = None
         self._mono_initialized = cfg.sensor != SENSOR_MONOCULAR
@@ -145,10 +160,18 @@ class System:
             # mapping: one windowed-BA step per chunk, unconditionally —
             # checking "was a keyframe inserted?" would need a device fetch,
             # which permanently degrades the relay's launch latency
+            gba_running = (self.loop_closer is not None
+                           and self.loop_closer.gba_running)
             if self.mapper is not None and not self.localization_only:
+                full = (self.cfg.sensor == SENSOR_MONOCULAR
+                        or self._map_full_toggle)
+                self._map_full_toggle = not self._map_full_toggle
                 with self.timers.time("local_mapping"):
-                    m2, n_culled = self.mapper.run(self.tracker.carry.m)
-                    self.tracker.carry = self.tracker.carry._replace(m=m2)
+                    m2, n_culled, last_mp2 = self.mapper.run(
+                        self.tracker.carry.m, self.tracker.carry.last_mp,
+                        allow_compact=not gba_running, full=full)
+                    self.tracker.carry = self.tracker.carry._replace(
+                        m=m2, last_mp=last_mp2)
                     self._culled_dev.append(n_culled)
             if self.loop_closer is not None and self.loop_closing_enabled \
                     and not self.localization_only:
@@ -156,6 +179,26 @@ class System:
                     m2, closed = self.loop_closer.process(self.tracker.carry.m)
                     if closed:
                         self.tracker.adopt_map(m2)
+                    # background GBA: one chunk per tracking chunk, so the
+                    # heavy refinement never stalls the camera (the
+                    # reference's detached GBA thread, LoopClosing.cc:689)
+                    m3, finished = self.loop_closer.step_background(
+                        self.tracker.carry.m)
+                    if finished:
+                        self.tracker.adopt_map(m3)
+            # keyframe-pool recycling: one scalar fetch every 8 chunks; when
+            # the pool passes the watermark, culled rows are compacted away
+            # so insertion never starves (Map::EraseKeyFrame, Map.cc:81-97)
+            self._chunks_since_kf_check += 1
+            if (self.mapper is not None and not self.localization_only
+                    and not (self.loop_closer is not None
+                             and self.loop_closer.gba_running)
+                    and self._chunks_since_kf_check >= 8):
+                self._chunks_since_kf_check = 0
+                m = self.tracker.carry.m
+                if int(jax.device_get(m.n_kfs)) >= int(
+                        self._kf_compact_watermark * m.K):
+                    self.compact_keyframe_pool()
         self._frame_counter += len(grays)
         if wire:
             last_aux = np.asarray(depths[-1], np.float32)
@@ -184,6 +227,54 @@ class System:
                 self.reset()
         return init_recs + recs
 
+    def compact_keyframe_pool(self) -> int:
+        """Recycle culled keyframe rows (``Map::EraseKeyFrame``,
+        ``Map.cc:81-97``). Rare host-synchronous event: culled keyframes
+        stop serving as trajectory reference anchors, so affected
+        FrameRecords are re-based onto their nearest surviving predecessor
+        at the CURRENT poses — the functional analog of the ``mTcp``
+        relative-pose retention in ``KeyFrame::SetBadFlag``
+        (``KeyFrame.cc:553-671``). Returns the number of rows freed."""
+        from orb_slam_2_ros_tpu.pipeline.tracking import (_quat_mul_np,
+                                                          _quat_rotate_np)
+        self.tracker.flush()   # pending records still index old rows
+        m = self.tracker.carry.m
+        m2, remap = map_state.compact_keyframes(m)
+        remap_np = np.asarray(jax.device_get(remap))
+        n_freed = int(np.sum((remap_np < 0)
+                             & (np.arange(len(remap_np))
+                                < int(jax.device_get(m.n_kfs)))))
+        if n_freed == 0:
+            return 0
+        kf_q = np.asarray(jax.device_get(m.kf_q))
+        kf_t = np.asarray(jax.device_get(m.kf_t))
+        K = len(remap_np)
+        anchor = np.maximum.accumulate(
+            np.where(remap_np >= 0, np.arange(K), -1))
+        first_kept = int(np.argmax(remap_np >= 0))
+        for r in self.tracker.records:
+            if r.ref_kf is None or r.ref_kf < 0 or r.q_cr is None:
+                continue
+            old = r.ref_kf
+            if remap_np[old] >= 0:
+                r.ref_kf = int(remap_np[old])
+                continue
+            a = int(anchor[old]) if anchor[old] >= 0 else first_kept
+            # T_cw = T_cr . T_rw (current); T_cr' = T_cw . T_aw^-1
+            q_cw = _quat_mul_np(r.q_cr, kf_q[old])
+            t_cw = _quat_rotate_np(r.q_cr, kf_t[old]) + r.t_cr
+            qa, ta = kf_q[a], kf_t[a]
+            qa_i = np.array([qa[0], -qa[1], -qa[2], -qa[3]])
+            ta_i = -_quat_rotate_np(qa_i, ta)
+            r.q_cr = _quat_mul_np(q_cw, qa_i)
+            r.t_cr = _quat_rotate_np(q_cw, ta_i) + t_cw
+            r.ref_kf = int(remap_np[a])
+        self.tracker.carry = self.tracker.carry._replace(m=m2)
+        if self.loop_closer is not None:
+            self.loop_closer.apply_kf_compaction(remap_np)
+        self.n_kf_compactions += 1
+        return n_freed
+
     def reset(self):
         """Full map + tracker reset (``Tracking::Reset``,
         ``Tracking.cc:1727-1765``; ``System::Reset`` flag protocol becomes a
@@ -194,6 +285,7 @@ class System:
         if self.loop_closer is not None:
             from orb_slam_2_ros_tpu.pipeline.loop_closing import empty_state
             self.loop_closer.state = empty_state(self.cfg)
+            self.loop_closer.gba = None    # abort any in-flight GBA
         if self.mono_init is not None:
             self.mono_init.ref = None
             self._mono_initialized = False
@@ -309,21 +401,79 @@ class System:
     # ------------------------------------------------------------- map I/O
 
     def save_map(self, path: str) -> bool:
-        """Persist the full map pytree (npz). Replaces the boost pointer-graph
-        serialization (``System.cc:610-644``)."""
+        """Persist the full map pytree PLUS the vocabulary and the loop
+        closer's BoW index / persistent loop edges. The reference archives
+        the Map AND the KeyFrameDatabase together and rebinds the
+        vocabulary on load (``System::SaveMap/LoadMap``,
+        ``System.cc:610-691``, KFDB at ``:625-630``) — saving the map alone
+        would silently break relocalization/loop closing against a
+        different vocabulary. npz replaces boost serialization (no 64 MB
+        stack hack: the map is a flat array pytree)."""
         m = self.tracker.map
         arrays = {f: np.asarray(jax.device_get(v))
                   for f, v in zip(m._fields, m)}
+        if self.vocab is not None:
+            arrays["vocab__node_desc"] = np.asarray(self.vocab.node_desc)
+            arrays["vocab__word_weight"] = np.asarray(self.vocab.word_weight)
+            arrays["vocab__klu"] = np.array(
+                [self.vocab.k, self.vocab.levels, self.vocab.levels_up],
+                np.int32)
+        if self.loop_closer is not None:
+            st = self.loop_closer.state
+            for name in ("kf_node", "consist_cnt", "n_ingested",
+                         "last_loop_kf", "loop_ei", "loop_ej", "loop_rq",
+                         "loop_rt", "loop_rs", "n_loop_edges"):
+                arrays["loop__" + name] = np.asarray(
+                    jax.device_get(getattr(st, name)))
+            for name in ("kf_word", "kf_wt", "kf_valid"):
+                arrays["loop__db_" + name] = np.asarray(
+                    jax.device_get(getattr(st.db, name)))
         np.savez_compressed(path, **arrays)
         return True
 
     def load_map(self, path: str) -> bool:
-        """Load a saved map and enter localization against it
-        (``System::LoadMap``, ``System.cc:647-691``)."""
+        """Load a saved map, rebind the saved vocabulary, and restore the
+        BoW index + loop edges so relocalization and loop closing work
+        against the loaded map (``System::LoadMap``, ``System.cc:647-691``:
+        deserialize Map + KeyFrameDatabase, rebind vocab)."""
         data = np.load(path)
-        m = map_state.MapState(**{f: jnp.asarray(data[f])
-                                  for f in map_state.MapState._fields})
+        empty_m = map_state.empty(self.cfg)
+        m = map_state.MapState(**{
+            f: (jnp.asarray(data[f]) if f in data.files
+                else getattr(empty_m, f))
+            for f in map_state.MapState._fields})
         self.tracker.attach_map(m)
+        if "vocab__node_desc" in data.files:
+            from orb_slam_2_ros_tpu.pipeline.loop_closing import LoopCloser
+            from orb_slam_2_ros_tpu.pipeline.relocalization import Relocalizer
+            from orb_slam_2_ros_tpu.place.vocabulary import Vocabulary
+            k, levels, lu = (int(x) for x in data["vocab__klu"])
+            self.vocab = Vocabulary(
+                node_desc=jnp.asarray(data["vocab__node_desc"]),
+                word_weight=jnp.asarray(data["vocab__word_weight"]),
+                k=k, levels=levels, levels_up=lu)
+            self.relocalizer = Relocalizer(self.cfg, self.vocab)
+            self.loop_closer = LoopCloser(self.cfg, self.vocab,
+                                          background_gba=True,
+                                          mesh=self.mesh)
+        if self.loop_closer is not None and "loop__n_ingested" in data.files:
+            st = self.loop_closer.state
+            db = st.db._replace(
+                kf_word=jnp.asarray(data["loop__db_kf_word"]),
+                kf_wt=jnp.asarray(data["loop__db_kf_wt"]),
+                kf_valid=jnp.asarray(data["loop__db_kf_valid"]))
+            self.loop_closer.state = st._replace(
+                db=db,
+                kf_node=jnp.asarray(data["loop__kf_node"]),
+                consist_cnt=jnp.asarray(data["loop__consist_cnt"]),
+                n_ingested=jnp.asarray(data["loop__n_ingested"]),
+                last_loop_kf=jnp.asarray(data["loop__last_loop_kf"]),
+                loop_ei=jnp.asarray(data["loop__loop_ei"]),
+                loop_ej=jnp.asarray(data["loop__loop_ej"]),
+                loop_rq=jnp.asarray(data["loop__loop_rq"]),
+                loop_rt=jnp.asarray(data["loop__loop_rt"]),
+                loop_rs=jnp.asarray(data["loop__loop_rs"]),
+                n_loop_edges=jnp.asarray(data["loop__n_loop_edges"]))
         return True
 
     def merge_map(self, path: str, fix_scale: bool = None) -> bool:
@@ -334,8 +484,11 @@ class System:
         from orb_slam_2_ros_tpu.config import SENSOR_MONOCULAR
         from orb_slam_2_ros_tpu.pipeline import map_merge
         data = np.load(path)
-        m2 = map_state.MapState(**{f: jnp.asarray(data[f])
-                                   for f in map_state.MapState._fields})
+        empty_m = map_state.empty(self.cfg)
+        m2 = map_state.MapState(**{
+            f: (jnp.asarray(data[f]) if f in data.files
+                else getattr(empty_m, f))
+            for f in map_state.MapState._fields})
         if self.vocab is None:
             self.vocab = default_vocabulary(self.cfg)
         if fix_scale is None:

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from orb_slam_2_ros_tpu.config import (SlamConfig, SENSOR_MONOCULAR,
-                                       SENSOR_STEREO)
+                                       SENSOR_RGBD, SENSOR_STEREO)
 from orb_slam_2_ros_tpu.frontend import frame as frame_mod
 from orb_slam_2_ros_tpu.frontend import matcher
 from orb_slam_2_ros_tpu.geometry import se3
@@ -63,6 +63,9 @@ class TrackCarry(NamedTuple):
     ref_tracked: jnp.ndarray   # () int32 inliers at last KF insertion
     since_kf: jnp.ndarray      # () int32
     frame_id: jnp.ndarray      # () int32
+    since_reloc: jnp.ndarray   # () int32 frames since last relocalization:
+                               # the local-map search widens to th=5 for two
+                               # frames after a reloc (Tracking.cc:1327-1329)
     # localization-only VO: temporal points back-projected from the previous
     # frame's depth (UpdateLastFrame's "visual odometry" MapPoints,
     # ``Tracking.cc:893-968``) — all-zero/inert outside localization mode
@@ -150,7 +153,8 @@ class Tracker:
 
         def _track_core(m, frame, q_pred, t_pred, q_last, t_last,
                         last_mp, last_oct, last_angle,
-                        vo_pos=None, vo_desc=None, vo_oct=None, vo_ok=None):
+                        vo_pos=None, vo_desc=None, vo_oct=None, vo_ok=None,
+                        since_reloc=None):
             """Two-stage matching + pose LM (TrackWithMotionModel +
             TrackLocalMap, Tracking.cc:971-1093). In localization-only mode
             the vo_* arrays carry the previous frame's temporal
@@ -222,6 +226,12 @@ class Tracker:
             tv = matcher.frustum_check(
                 q1, t1, m.mp_pos, m.mp_normal, m.mp_min_dist, m.mp_max_dist,
                 m.mp_valid, cfg)
+            # visibility bookkeeping: frustum-passing points plus points
+            # already matched by the motion-model stage count as "visible"
+            # this frame (IncreaseVisible call sites, Tracking.cc:1330-1352)
+            seen1 = jnp.zeros((m.M + 1,), bool).at[
+                jnp.where(kp_mp1 >= 0, kp_mp1, m.M)].set(True)[:m.M]
+            vis_mask = tv.ok | seen1
             # compact frustum survivors into a bounded candidate set (the
             # array analog of the reference's 80-keyframe local map,
             # Tracking.cc:1409-1532): the matcher's per-pair gates run on
@@ -238,8 +248,15 @@ class Tracker:
                 uv=tv.uv[cand], u_right=tv.u_right[cand],
                 dist=tv.dist[cand], view_cos=tv.view_cos[cand],
                 pred_level=tv.pred_level[cand], ok=cand_ok)
+            # search window: th=3 for RGB-D, 1 otherwise; widened to 5 for
+            # two frames after a relocalization (SearchLocalPoints,
+            # Tracking.cc:1322-1330)
+            th_base = 3.0 if cfg.sensor == SENSOR_RGBD else 1.0
+            th_lm = jnp.float32(th_base)
+            if since_reloc is not None:
+                th_lm = jnp.where(since_reloc < 2, jnp.float32(5.0), th_lm)
             kp_to_c, _ = matcher.search_local_map(
-                tv_c, m.mp_desc[cand], frame, kp_mp1 >= 0, cfg)
+                tv_c, m.mp_desc[cand], frame, kp_mp1 >= 0, cfg, th=th_lm)
             kp_to_mp2 = jnp.where(kp_to_c >= 0,
                                   cand[jnp.clip(kp_to_c, 0)], -1)
             kp_mp = jnp.where(kp_mp1 >= 0, kp_mp1, kp_to_mp2)
@@ -260,7 +277,8 @@ class Tracker:
             close = frame.valid & (frame.depth > 0) & (frame.depth < th_close)
             n_close_tr = jnp.sum((close & (kp_mp >= 0)).astype(jnp.int32))
             n_close_free = jnp.sum((close & (kp_mp < 0)).astype(jnp.int32))
-            return q2, t2, kp_mp, n1, n2, n_map, n_close_tr, n_close_free
+            return (q2, t2, kp_mp, n1, n2, n_map, n_close_tr, n_close_free,
+                    vis_mask)
 
         def _build_frame(gray_u8, aux_w):
             # inputs arrive in wire format (u8 gray, u16 millimetre depth or
@@ -287,12 +305,17 @@ class Tracker:
             # ---------- tracking attempt (garbage but harmless pre-init)
             q_pred, t_pred = se3.compose(carry.vel_q, carry.vel_t,
                                          carry.q, carry.t)
-            q2, t2, kp_mp, n1, n2, n_map, nct, ncf = _track_core(
+            q2, t2, kp_mp, n1, n2, n_map, nct, ncf, vis_mask = _track_core(
                 m, frame, q_pred, t_pred, carry.q, carry.t,
                 carry.last_mp, carry.last_oct, carry.last_angle,
-                carry.vo_pos, carry.vo_desc, carry.vo_oct, carry.vo_ok)
+                carry.vo_pos, carry.vo_desc, carry.vo_oct, carry.vo_ok,
+                carry.since_reloc)
             good = ((n2 >= tc.min_inliers_local_map) & active
                     & carry.initialized)
+            # found/visible counters (MapPoint.cc:268-283): feed the
+            # found-ratio map-point culling (LocalMapping.cc:221)
+            m = map_state.bump_visibility(m, vis_mask, kp_mp,
+                                          active & carry.initialized)
 
             # ---------- stereo/RGB-D initialization (predicated); mono
             # initializes at the System level (two-view reconstruction)
@@ -370,7 +393,9 @@ class Tracker:
                                                 carry.ref_tracked)),
                 since_kf=jnp.where(commit, 0,
                                    carry.since_kf + active.astype(jnp.int32)),
-                frame_id=carry.frame_id + active.astype(jnp.int32))
+                frame_id=carry.frame_id + active.astype(jnp.int32),
+                since_reloc=jnp.minimum(
+                    carry.since_reloc + active.astype(jnp.int32), 1000))
 
             state_code = jnp.where(
                 track_ok, OK,
@@ -419,7 +444,7 @@ class Tracker:
             last_oct=jnp.zeros((P,), jnp.int32),
             last_angle=jnp.zeros((P,), jnp.float32),
             ref_tracked=jnp.int32(0), since_kf=jnp.int32(0),
-            frame_id=jnp.int32(0),
+            frame_id=jnp.int32(0), since_reloc=jnp.int32(1000),
             vo_pos=jnp.zeros((P, 3), jnp.float32),
             vo_desc=jnp.zeros((P, 8), jnp.uint32),
             vo_oct=jnp.zeros((P,), jnp.int32),
@@ -539,6 +564,9 @@ class Tracker:
             q=q, t=t, vel_q=jnp.array([1.0, 0, 0, 0]), vel_t=jnp.zeros(3),
             last_mp=kp_mp, last_oct=octave, last_angle=angle,
             initialized=jnp.array(True),
+            # widen the local-map search for the next 2 frames
+            # (Tracking.cc:1327-1329, mnLastRelocFrameId)
+            since_reloc=jnp.int32(0),
             # drop temporal VO points: their world positions were anchored
             # to the pre-relocalization (drifted) pose
             vo_ok=jnp.zeros_like(self.carry.vo_ok))

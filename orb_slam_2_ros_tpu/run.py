@@ -8,7 +8,8 @@ equivalent: ``--sensor`` picks the pipeline like choosing the executable;
 ``--save-map``/``--load-map`` replace the SaveMap service
 (``srv/SaveMap.srv``); ``--save-traj`` the shutdown auto-save
 (``ros/src/Node.cc:13-21``); ``--localization-only`` the dynamic-reconfigure
-toggle; ``--loop-closing`` enables the loop-closure + global-BA path.
+toggle; loop closure + background GBA run by default (``--no-loop-closing``
+opts out).
 """
 
 from __future__ import annotations
@@ -36,8 +37,12 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no-ba", action="store_true", help="disable local BA")
-    ap.add_argument("--loop-closing", action="store_true",
-                    help="enable loop detection + Sim3 correction + GBA")
+    ap.add_argument("--loop-closing", dest="loop_closing",
+                    action="store_true", default=True,
+                    help="loop detection + Sim3 correction + background GBA "
+                         "(ON by default, like the reference)")
+    ap.add_argument("--no-loop-closing", dest="loop_closing",
+                    action="store_false")
     ap.add_argument("--localization-only", action="store_true")
     ap.add_argument("--save-map", help="write map npz on exit")
     ap.add_argument("--load-map", help="load map npz at start")

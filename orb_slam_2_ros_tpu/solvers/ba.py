@@ -150,29 +150,13 @@ def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
     return adj * inv_det[..., None, None]
 
 
-@f32_matmul
-def bundle_adjustment(q, t, cam_free, pos, mp_free, prob: BAProblem,
-                      cfg: SlamConfig, phases=(5, 10), cg_iters: int = 100,
-                      axis_name: str = None, robust: bool = True):
-    """Run Schur-LM bundle adjustment.
-
-    q (C, 4), t (C, 3): world->camera poses; cam_free (C,) bool (False =
-    gauge-fixed); pos (M, 3) points; mp_free (M,) bool. phases: LM iteration
-    counts with chi2-based edge pruning between phases (reference 5+10).
-
-    With ``axis_name`` set, the function runs inside a ``shard_map`` whose
-    edge arrays (``prob``) are sharded over that mesh axis while states are
-    replicated: every edge-indexed reduction (gradients, block diagonals,
-    Schur matvecs, robust error) gets a ``psum`` — the distributed-BA
-    pattern of SURVEY.md §2.D (local Schur elimination + ICI-collective
-    camera system). The math is bit-identical to the single-device path.
-
-    Returns (q, t, pos, edge_inlier (E,) bool).
-    """
-    C = q.shape[0]
-    M = pos.shape[0]
-    sc = cfg.solver
-    delta2 = jnp.where(prob.is_stereo, sc.huber_stereo2, sc.huber_mono2)
+def _make_lm_step(prob: BAProblem, cfg: SlamConfig, cam_free, mp_free,
+                  cg_iters: int, axis_name: str = None):
+    """Build the Schur-LM step closure shared by ``bundle_adjustment`` and
+    the chunked background GBA (``gba_chunk``). One call = one damped LM
+    iteration with the CG solve on the reduced camera system."""
+    C = cam_free.shape[0]
+    M = mp_free.shape[0]
 
     def _allsum(x):
         return jax.lax.psum(x, axis_name) if axis_name else x
@@ -293,6 +277,33 @@ def bundle_adjustment(q, t, cam_free, pos, mp_free, prob: BAProblem,
         err = jnp.where(improved, err_new, err)
         return q, t, pos, lam, err
 
+    return lm_step, _allsum
+
+
+@f32_matmul
+def bundle_adjustment(q, t, cam_free, pos, mp_free, prob: BAProblem,
+                      cfg: SlamConfig, phases=(5, 10), cg_iters: int = 100,
+                      axis_name: str = None, robust: bool = True):
+    """Run Schur-LM bundle adjustment.
+
+    q (C, 4), t (C, 3): world->camera poses; cam_free (C,) bool (False =
+    gauge-fixed); pos (M, 3) points; mp_free (M,) bool. phases: LM iteration
+    counts with chi2-based edge pruning between phases (reference 5+10).
+
+    With ``axis_name`` set, the function runs inside a ``shard_map`` whose
+    edge arrays (``prob``) are sharded over that mesh axis while states are
+    replicated: every edge-indexed reduction (gradients, block diagonals,
+    Schur matvecs, robust error) gets a ``psum`` — the distributed-BA
+    pattern of SURVEY.md §2.D (local Schur elimination + ICI-collective
+    camera system). The math is bit-identical to the single-device path.
+
+    Returns (q, t, pos, edge_inlier (E,) bool).
+    """
+    sc = cfg.solver
+    delta2 = jnp.where(prob.is_stereo, sc.huber_stereo2, sc.huber_mono2)
+    lm_step, _allsum = _make_lm_step(prob, cfg, cam_free, mp_free,
+                                     cg_iters, axis_name)
+
     def lm_phase(q, t, pos, edge_mask, use_kernel, n_iters):
         e, _, _, z = _edge_terms(prob, q, t, pos, cfg)
         _, err0 = _weights(prob, e, z, edge_mask, cfg, use_kernel)
@@ -317,6 +328,62 @@ def bundle_adjustment(q, t, cam_free, pos, mp_free, prob: BAProblem,
         chi2 = jnp.sum(e * e * comp_w, -1) * prob.inv_sigma2
         edge_mask = prob.valid & (chi2 <= delta2) & (z > _EPS)
     return q, t, pos, edge_mask
+
+
+# --------------------------------------------------------------------------
+# Chunked global BA: the background / abortable GBA state machine.
+# --------------------------------------------------------------------------
+
+class GBAState(NamedTuple):
+    """Device-resident global-BA-in-flight snapshot (the functional analog
+    of the reference's detached GBA thread, ``LoopClosing.cc:689``,
+    ``RunGlobalBundleAdjustment`` ``:758-862``): the optimization runs on a
+    SNAPSHOT of the map while tracking/mapping continue on the live one;
+    the finish step reconciles (pipeline/loop_closing.gba_finish)."""
+
+    q: jnp.ndarray          # (K, 4) optimized poses (world->camera)
+    t: jnp.ndarray          # (K, 3)
+    pos: jnp.ndarray        # (M, 3) optimized points
+    lam: jnp.ndarray        # () LM damping
+    err: jnp.ndarray        # () robust error
+    prob: BAProblem         # snapshot edge set
+    cam_free: jnp.ndarray   # (K,) bool
+    mp_free: jnp.ndarray    # (M,) bool
+    n0: jnp.ndarray         # () int32 n_kfs at snapshot time
+    nm0: jnp.ndarray        # () int32 n_mps at snapshot time
+
+
+@f32_matmul
+def gba_init(q, t, cam_free, pos, mp_free, prob: BAProblem, n_kfs, n_mps,
+             cfg: SlamConfig, robust: bool = False) -> GBAState:
+    """Snapshot the problem and evaluate the starting error."""
+    e, _, _, z = _edge_terms(prob, q, t, pos, cfg)
+    _, err0 = _weights(prob, e, z, prob.valid, cfg, robust)
+    return GBAState(q=q, t=t, pos=pos, lam=jnp.float32(1e-4), err=err0,
+                    prob=prob, cam_free=cam_free, mp_free=mp_free,
+                    n0=jnp.int32(n_kfs), nm0=jnp.int32(n_mps))
+
+
+@f32_matmul
+def gba_chunk(st: GBAState, cfg: SlamConfig, n_iters: int,
+              cg_iters: int = 100, robust: bool = False,
+              axis_name: str = None) -> GBAState:
+    """Advance the in-flight GBA by ``n_iters`` LM iterations — the
+    ``lax.fori_loop`` segment of SURVEY.md §2.D row 2 ("chunked LM
+    iterations with host-checked abort between chunks"). The host
+    interleaves these with tracking chunks and drops the state to abort
+    (the ``mnFullBAIdx`` protocol, ``LoopClosing.cc:490-502``,
+    ``mbStopGBA`` ``:493-499``)."""
+    lm_step, _ = _make_lm_step(st.prob, cfg, st.cam_free, st.mp_free,
+                               cg_iters, axis_name)
+
+    def body(_, carry):
+        q, t, pos, lam, err = carry
+        return lm_step(q, t, pos, st.prob.valid, robust, lam, err)
+
+    q, t, pos, lam, err = jax.lax.fori_loop(
+        0, n_iters, body, (st.q, st.t, st.pos, st.lam, st.err))
+    return st._replace(q=q, t=t, pos=pos, lam=lam, err=err)
 
 
 # --------------------------------------------------------------------------

@@ -28,3 +28,26 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# ---- fast/slow split (round-2 VERDICT weak #8): integration suites that
+# drive whole pipelines are marked `slow`; `-m "not slow"` gives a quick
+# unit pass (kernels, solvers, geometry oracles) for inner-loop development.
+SLOW_MODULES = {
+    "test_slam_system", "test_loop_closing", "test_full_system_loop",
+    "test_tracking_e2e", "test_localization_vo", "test_mono_tracking",
+    "test_stereo_tracking", "test_map_merge", "test_dist_ba",
+    "test_wire_path", "test_pool_recycling", "test_kitti_metric",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: whole-pipeline integration test (minutes on CPU)")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+    for item in items:
+        if item.module.__name__ in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)

@@ -96,6 +96,52 @@ def test_cull_keeps_unique_keyframes():
     assert int(n_culled) == 0
 
 
+def test_bump_visibility_counters():
+    """IncreaseVisible/IncreaseFound bookkeeping (``MapPoint.cc:268-283``):
+    frustum sightings bump visible, pose-opt inliers bump found; both start
+    at 1 and a disabled frame changes nothing."""
+    cfg = small_cfg()
+    m = map_state.empty(cfg)
+    M, P = m.M, m.P
+    vis_mask = np.zeros(M, bool)
+    vis_mask[[0, 3, 5]] = True
+    found = np.full(P, -1, np.int32)
+    found[0] = 3   # keypoint 0 is an inlier of map point 3
+    m2 = map_state.bump_visibility(m, jnp.asarray(vis_mask),
+                                   jnp.asarray(found), jnp.array(True))
+    assert np.asarray(m2.mp_visible)[[0, 3, 5]].tolist() == [2, 2, 2]
+    assert int(np.asarray(m2.mp_visible)[1]) == 1
+    assert int(np.asarray(m2.mp_found)[3]) == 2
+    assert int(np.asarray(m2.mp_found)[0]) == 1
+    m3 = map_state.bump_visibility(m, jnp.asarray(vis_mask),
+                                   jnp.asarray(found), jnp.array(False))
+    assert np.array_equal(np.asarray(m3.mp_visible), np.asarray(m.mp_visible))
+    assert np.array_equal(np.asarray(m3.mp_found), np.asarray(m.mp_found))
+
+
+def test_found_ratio_culls_weak_point():
+    """A landmark that projects into many frames but rarely survives as an
+    inlier must be culled by the found/visible < 0.25 rule
+    (``LocalMapping.cc:221``, ``MapPoint::GetFoundRatio``)."""
+    from orb_slam_2_ros_tpu.pipeline.local_mapping import LocalMapper
+    cfg = small_cfg()
+    m, pts_new, n_shared, n_new = build_two_kf_map(cfg, noise=0.05)
+    # point 0: seen by the frustum pass in 20 frames, matched in only 2
+    # point 1: healthy — matched nearly every time it was visible
+    m = m._replace(
+        mp_visible=m.mp_visible.at[0].set(20).at[1].set(20),
+        mp_found=m.mp_found.at[0].set(2).at[1].set(18))
+    mapper = LocalMapper(cfg, window=4)
+    # thread ids 0/1 through the compaction remap via the last_mp channel
+    last_mp = np.full(m.P, -1, np.int32)
+    last_mp[0], last_mp[1] = 0, 1
+    m2, n_culled, last2 = mapper.run(m, jnp.asarray(last_mp))
+    assert int(last2[0]) == -1, "weak point survived"
+    h = int(last2[1])
+    assert h >= 0 and bool(m2.mp_valid[h]), "healthy point culled"
+    assert int(n_culled) >= 1
+
+
 def test_distinctive_descriptor_matches_oracle():
     """Representative descriptor = min median Hamming to the point's other
     observations (``MapPoint::ComputeDistinctiveDescriptors``,

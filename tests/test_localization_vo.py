@@ -34,7 +34,7 @@ def test_vo_mode_survives_leaving_the_map(tmp_path):
     c0 = np.array([0.0, 0.0, 0.0], np.float32)
 
     # phase 1: map the view straight ahead (yaw 0) with a normal session
-    sys_map = System(cfg, enable_local_ba=False)
+    sys_map = System(cfg, enable_local_ba=False, enable_loop_closing=False)
     frames = [render(planes, *_yaw_pose(0.0, c0), cfg.camera)
               for _ in range(2)]
     grays = np.stack([f[0] for f in frames])

@@ -41,7 +41,7 @@ def _gt_pose(i):
 
 
 def build_looped_map(cfg, drift_xi=(0.15, 0.0, -0.1, 0.0, 0.03, 0.0),
-                     seed=5, drift_scale=1.0):
+                     seed=5, drift_scale=1.0, return_feats=False):
     """Synthetic drifted ring. drift_scale != 1 adds monocular scale drift:
     the second half's points AND camera centers are uniformly scaled
     (projections are invariant under uniform scaling of camera coords, so
@@ -155,6 +155,8 @@ def build_looped_map(cfg, drift_xi=(0.15, 0.0, -0.1, 0.0, 0.03, 0.0),
         mp_desc=jnp.asarray(mp_desc),
         mp_first_kf=jnp.asarray(mp_first),
         n_kfs=jnp.int32(N_KF), n_mps=jnp.int32(next_mp))
+    if return_feats:
+        return m, gt, descs, (feats, th_f)
     return m, gt, descs
 
 
@@ -283,6 +285,201 @@ def test_culled_keyframe_follows_loop_correction():
     # and every surviving keyframe is finite
     q = np.asarray(m.kf_q)[:N_KF]
     assert np.isfinite(q).all()
+
+
+def _append_lap(m, cfg, feats_info, descs, n2, drift_xi2, start_kf=N_KF):
+    """Extend the trajectory with a second lap over ring angles 0..n2-1,
+    estimated poses and freshly duplicated landmarks drifted by drift_xi2
+    (the self-consistent drifted-segment construction of build_looped_map,
+    half index 2). Returns (m, gt2: list of gt poses of the new keyframes)."""
+    feats, th_f = feats_info
+    dq, dt = se3.exp(jnp.asarray(drift_xi2, jnp.float32))
+    kf_q = np.asarray(m.kf_q).copy()
+    kf_t = np.asarray(m.kf_t).copy()
+    kf_valid = np.asarray(m.kf_valid).copy()
+    kf_uv = np.asarray(m.kf_uv).copy()
+    kf_depth = np.asarray(m.kf_depth).copy()
+    kf_desc = np.asarray(m.kf_desc).copy()
+    kf_kp_valid = np.asarray(m.kf_kp_valid).copy()
+    kf_mp = np.asarray(m.kf_mp).copy()
+    mp_pos = np.asarray(m.mp_pos).copy()
+    mp_valid = np.asarray(m.mp_valid).copy()
+    mp_desc = np.asarray(m.mp_desc).copy()
+    mp_first = np.asarray(m.mp_first_kf).copy()
+    next_mp = int(m.n_mps)
+    mp_id = {}
+    gt2 = []
+    for i2 in range(n2):
+        i = start_kf + i2
+        q_gt, t_gt = _gt_pose(i2)
+        gt2.append((q_gt, t_gt))
+        qd = np.asarray(se3.quat_mul(jnp.asarray(q_gt), se3.quat_conj(dq)))
+        c_gt = np.asarray(se3.camera_center(q_gt, t_gt))
+        c_d = np.asarray(se3.quat_rotate(dq, jnp.asarray(c_gt))) \
+            + np.asarray(dt)
+        td = -np.asarray(se3.quat_rotate(jnp.asarray(qd), jnp.asarray(c_d)))
+        kf_q[i], kf_t[i], kf_valid[i] = qd, td, True
+        th_i = 2 * np.pi * i2 / (N_KF - 1)
+        d_ang = np.minimum(np.abs(th_f - th_i),
+                           2 * np.pi - np.abs(th_f - th_i))
+        slot = 0
+        for f in np.where(d_ang < OBS_WINDOW)[0]:
+            if f not in mp_id:
+                p = np.asarray(se3.quat_rotate(
+                    dq, jnp.asarray(feats[f]))) + np.asarray(dt)
+                mp_id[f] = next_mp
+                mp_pos[next_mp] = p
+                mp_valid[next_mp] = True
+                mp_desc[next_mp] = descs[f]
+                mp_first[next_mp] = i
+                next_mp += 1
+            mp = mp_id[f]
+            xc = np.asarray(se3.apply(jnp.asarray(kf_q[i]),
+                                      jnp.asarray(kf_t[i]),
+                                      jnp.asarray(mp_pos[mp])))
+            if xc[2] < 0.3:
+                continue
+            uv = np.asarray(camera.project(cfg.camera, jnp.asarray(xc)))
+            if not (10 < uv[0] < cfg.camera.width - 10
+                    and 10 < uv[1] < cfg.camera.height - 10):
+                continue
+            kf_uv[i, slot] = uv
+            kf_depth[i, slot] = xc[2]
+            kf_desc[i, slot] = descs[f]
+            kf_kp_valid[i, slot] = True
+            kf_mp[i, slot] = mp
+            slot += 1
+    m = m._replace(
+        kf_q=jnp.asarray(kf_q), kf_t=jnp.asarray(kf_t),
+        kf_valid=jnp.asarray(kf_valid), kf_uv=jnp.asarray(kf_uv),
+        kf_depth=jnp.asarray(kf_depth), kf_desc=jnp.asarray(kf_desc),
+        kf_kp_valid=jnp.asarray(kf_kp_valid), kf_mp=jnp.asarray(kf_mp),
+        mp_pos=jnp.asarray(mp_pos), mp_valid=jnp.asarray(mp_valid),
+        mp_desc=jnp.asarray(mp_desc), mp_first_kf=jnp.asarray(mp_first),
+        n_kfs=jnp.int32(start_kf + n2), n_mps=jnp.int32(next_mp))
+    return m, gt2
+
+
+def test_second_loop_preserves_first_seam():
+    """Persistent loop edges (``KeyFrame::mspLoopEdges``,
+    ``KeyFrame.cc:506-517``; fed into every essential-graph run at
+    ``Optimizer.cc:1047``): after a SECOND loop closes elsewhere, the first
+    seam must stay welded — without the stored first edge the second
+    essential-graph run is free to redistribute the old correction."""
+    cfg = SlamConfig(
+        sensor=SENSOR_RGBD,
+        orb=OrbConfig(n_features=256, max_kps=256),
+        map=MapConfig(max_kfs=32, max_mps=2048, max_kps=256),
+        vocab=VocabConfig(k=6, levels=3))
+    m, gt, descs, feats_info = build_looped_map(cfg, return_feats=True)
+    voc = vocabulary.train_vocabulary(descs, cfg, seed=0)
+    lc = LoopCloser(cfg, voc, min_kfs_between_loops=6)
+    for _ in range(8):
+        m, did = lc.process(m)
+    assert lc.n_loops_closed == 1
+    assert int(lc.state.n_loop_edges) == 1
+    seam1 = pose_err_deg_m(m.kf_q[N_KF - 1], m.kf_t[N_KF - 1],
+                           *gt[N_KF - 1])[1]
+    assert seam1 < 0.08, seam1
+
+    # second lap: 8 keyframes revisiting the ring start under a fresh drift
+    m, gt2 = _append_lap(m, cfg, feats_info, descs, n2=8,
+                         drift_xi2=(-0.12, 0.05, 0.1, 0.02, 0.0, -0.03))
+    closed2 = False
+    for _ in range(10):
+        m, did = lc.process(m)
+        closed2 = closed2 or did
+    assert closed2, "second loop was never closed"
+    assert lc.n_loops_closed == 2
+    assert int(lc.state.n_loop_edges) == 2
+
+    # first seam still welded, whole first lap still near ground truth
+    errs1 = np.asarray([pose_err_deg_m(m.kf_q[i], m.kf_t[i], *gt[i])[1]
+                        for i in range(N_KF)])
+    assert np.isfinite(errs1).all()
+    assert float(np.max(errs1)) < 0.12, errs1
+    # second lap corrected onto the map
+    errs2 = np.asarray([pose_err_deg_m(m.kf_q[N_KF + j], m.kf_t[N_KF + j],
+                                       *gt2[j])[1] for j in range(8)])
+    assert np.isfinite(errs2).all()
+    assert float(np.max(errs2)) < 0.15, errs2
+
+
+def test_background_gba_matches_synchronous():
+    """The chunked background GBA (host-stepped lax.fori_loop segments,
+    SURVEY.md §2.D row 2) runs the same LM sequence as the synchronous
+    path: after stepping all chunks, the ring is corrected to the same
+    tolerance. Between chunks the map stays live — tracking keeps flowing
+    (the reference's detached GBA thread, ``LoopClosing.cc:689``)."""
+    cfg = small_cfg()
+    m, gt, descs = build_looped_map(cfg)
+    voc = vocabulary.train_vocabulary(descs, cfg, seed=0)
+    lc = LoopCloser(cfg, voc, min_kfs_between_loops=6, background_gba=True)
+    closed = False
+    for _ in range(8):
+        m, did = lc.process(m)
+        closed = closed or did
+        if did:
+            break
+    assert closed
+    # the correction (essential graph + fuse) is applied, the GBA pends
+    assert lc.gba_running
+    n_steps = 0
+    finished = False
+    while lc.gba_running:
+        m, finished = lc.step_background(m)
+        n_steps += 1
+        assert n_steps <= 16
+    assert finished and lc.n_gba_finished == 1
+    errs = np.asarray([pose_err_deg_m(m.kf_q[i], m.kf_t[i], *gt[i])[1]
+                       for i in range(N_KF)])
+    assert np.isfinite(errs).all(), errs
+    assert float(np.max(errs)) < 0.08, errs
+
+
+def test_second_loop_aborts_inflight_gba():
+    """A newer accepted loop invalidates an in-flight GBA (the
+    ``mnFullBAIdx`` protocol, ``LoopClosing.cc:490-502``): the stale
+    snapshot is dropped, a fresh GBA starts from the new correction, and
+    the final map is still consistent."""
+    cfg = SlamConfig(
+        sensor=SENSOR_RGBD,
+        orb=OrbConfig(n_features=256, max_kps=256),
+        map=MapConfig(max_kfs=32, max_mps=2048, max_kps=256),
+        vocab=VocabConfig(k=6, levels=3))
+    m, gt, descs, feats_info = build_looped_map(cfg, return_feats=True)
+    voc = vocabulary.train_vocabulary(descs, cfg, seed=0)
+    lc = LoopCloser(cfg, voc, min_kfs_between_loops=6, background_gba=True)
+    for _ in range(8):
+        m, did = lc.process(m)
+    assert lc.n_loops_closed == 1 and lc.gba_running
+    m, _ = lc.step_background(m)      # first GBA in flight, partially done
+    assert lc.gba_running
+
+    m, gt2 = _append_lap(m, cfg, feats_info, descs, n2=8,
+                         drift_xi2=(-0.12, 0.05, 0.1, 0.02, 0.0, -0.03))
+    # deliberately do NOT step the first GBA while the second loop is being
+    # detected — it must still be in flight when the second loop lands
+    for _ in range(10):
+        m, did = lc.process(m)
+        if did:
+            break
+    assert lc.n_loops_closed == 2
+    assert lc.n_gba_aborts == 1, lc.n_gba_aborts
+    assert lc.gba_running    # a fresh GBA restarted from the new correction
+    m = lc.run_gba_to_completion(m)
+    errs1 = np.asarray([pose_err_deg_m(m.kf_q[i], m.kf_t[i], *gt[i])[1]
+                        for i in range(N_KF)])
+    errs2 = np.asarray([pose_err_deg_m(m.kf_q[N_KF + j], m.kf_t[N_KF + j],
+                                       *gt2[j])[1] for j in range(8)])
+    assert np.isfinite(errs1).all() and np.isfinite(errs2).all()
+    # the first seam stays welded (the abort lost the first GBA's polish,
+    # exactly like the reference — the restarted GBA redoes it globally;
+    # mid-ring residual ~0.13 m of the original 0.26 m drift remains after
+    # its 20 iterations, measured)
+    assert float(errs1[N_KF - 1]) < 0.05, errs1
+    assert float(np.max(errs1)) < 0.16, errs1
+    assert float(np.max(errs2)) < 0.15, errs2
 
 
 def test_mono_loop_corrects_scale_drift():

@@ -108,12 +108,14 @@ def test_system_merge_map_roundtrip(tmp_path):
     from orb_slam_2_ros_tpu.pipeline.slam import System
     import numpy as _np
     voc = vocabulary.train_vocabulary(descs, cfg, seed=0)
-    sys2 = System(cfg, enable_local_ba=False, vocab=voc)
+    sys2 = System(cfg, enable_local_ba=False, enable_loop_closing=False,
+                   vocab=voc)
     sys2.tracker.attach_map(m2)
     p2 = str(tmp_path / "session2.npz")
     sys2.save_map(p2)
 
-    sys1 = System(cfg, enable_local_ba=False, vocab=voc)
+    sys1 = System(cfg, enable_local_ba=False, enable_loop_closing=False,
+                   vocab=voc)
     sys1.tracker.attach_map(m1)
     assert sys1.merge_map(p2)
     merged = sys1.tracker.map

@@ -28,7 +28,8 @@ def test_mono_slam_synthetic():
     cfg = mono_cfg()
     # wider arc -> more parallax for the two-view bootstrap
     ds = SyntheticRGBD(cfg, n_frames=24, seed=0, radius=1.5, angle_range=0.9)
-    sys_ = System(cfg, enable_local_ba=True, ba_window=8)
+    sys_ = System(cfg, enable_local_ba=True, ba_window=8,
+                  enable_loop_closing=False)
     grays = np.stack([ds[i][0] for i in range(len(ds))])
     recs = sys_.track_chunk(grays, None, ds.timestamps)
     states = [r.state for r in recs]

@@ -16,7 +16,8 @@ from test_tracking_e2e import small_cfg
 def run_result(tmp_path_factory):
     cfg = small_cfg()
     ds = SyntheticRGBD(cfg, n_frames=24, seed=0)
-    sys_ = System(cfg, enable_local_ba=True, ba_window=8)
+    sys_ = System(cfg, enable_local_ba=True, ba_window=8,
+                  enable_loop_closing=False)
     grays = np.stack([ds[i][0] for i in range(len(ds))])
     depths = np.stack([ds[i][1] for i in range(len(ds))])
     recs = sys_.track_chunk(grays, depths, ds.timestamps)
@@ -37,7 +38,7 @@ def test_map_save_load_roundtrip(run_result, tmp_path):
     cfg, ds, sys_, recs = run_result
     p = str(tmp_path / "map.npz")
     assert sys_.save_map(p)
-    sys2 = System(cfg, enable_local_ba=False)
+    sys2 = System(cfg, enable_local_ba=False, enable_loop_closing=False)
     assert sys2.load_map(p)
     m1, m2 = sys_.tracker.map, sys2.tracker.map
     np.testing.assert_array_equal(np.asarray(m1.kf_valid), np.asarray(m2.kf_valid))
@@ -103,6 +104,122 @@ def test_relocalization_after_loss(run_result, tmp_path):
         assert np.linalg.norm(r.c_w - gt_c) < 0.08
 
 
+def test_map_persistence_with_vocab_and_loop_state(run_result, tmp_path):
+    """SaveMap archives the vocabulary and the BoW index with the map (the
+    reference serializes Map + KeyFrameDatabase together and rebinds the
+    vocab, ``System.cc:610-691``); loading restores them so relocalization
+    works against the reopened map without retraining/re-ingesting."""
+    import jax
+    cfg, ds, sys_, recs = run_result
+    sys3 = System(cfg, enable_local_ba=True, ba_window=8)  # loops on (default)
+    grays = np.stack([ds[i][0] for i in range(16)])
+    depths = np.stack([ds[i][1] for i in range(16)])
+    sys3.track_chunk(grays, depths, ds.timestamps[:16])
+    p = str(tmp_path / "map_full.npz")
+    assert sys3.save_map(p)
+    data = np.load(p)
+    assert "vocab__node_desc" in data.files
+    assert "loop__db_kf_word" in data.files
+
+    cfg_loc = cfg.replace(localization_only=True)
+    sys4 = System(cfg_loc, enable_local_ba=False, load_map=p)
+    np.testing.assert_array_equal(np.asarray(sys4.vocab.node_desc),
+                                  np.asarray(sys3.vocab.node_desc))
+    n_saved = int(jax.device_get(sys3.loop_closer.state.n_ingested))
+    assert n_saved >= 1
+    assert int(jax.device_get(sys4.loop_closer.state.n_ingested)) == n_saved
+
+    # relocalize mid-sequence against the reopened map
+    start = 8
+    recs2 = []
+    for s in (start, start + 4):
+        g = np.stack([ds[i][0] for i in range(s, s + 4)])
+        d = np.stack([ds[i][1] for i in range(s, s + 4)])
+        recs2 += sys4.track_chunk(g, d, ds.timestamps[s:s + 4])
+    ok_frames = [r for r in recs2[4:] if r.state == OK]
+    assert len(ok_frames) >= 2, [r.state for r in recs2]
+    R0, c0 = ds.gt_pose_wc(0)
+    r = ok_frames[-1]
+    gt_c = R0.T @ (ds.gt_pose_wc(start + 4 + r.frame_id
+                                 - recs2[4].frame_id)[1] - c0)
+    assert np.linalg.norm(r.c_w - gt_c) < 0.08
+
+
+def test_relocalization_survives_bow_decoy(run_result):
+    """Multi-candidate relocalization (``Tracking.cc:1535-1724`` sweeps ALL
+    database candidates): plant a decoy keyframe whose BoW vector is the
+    query frame's own (top retrieval score guaranteed) but whose 3D
+    associations are garbage — relocalization must still succeed through a
+    geometrically consistent lower-scoring candidate."""
+    import jax
+    import jax.numpy as jnp
+    from orb_slam_2_ros_tpu.frontend import frame as frame_mod
+    from orb_slam_2_ros_tpu.pipeline.relocalization import Relocalizer
+    from orb_slam_2_ros_tpu.pipeline.slam import default_vocabulary
+    from orb_slam_2_ros_tpu.place import database, vocabulary
+
+    cfg, ds, sys_, recs = run_result
+    m = sys_.tracker.map
+    vocab = default_vocabulary(cfg)
+    qidx = 20
+    gray, depth = ds[qidx]
+    frame = frame_mod.build_rgbd(jnp.asarray(gray, jnp.float32),
+                                 jnp.asarray(depth, jnp.float32), cfg)
+
+    # plant the decoy as keyframe row n: it looks like the genuine best
+    # match (the newest keyframe's descriptors) with 10% of the query's own
+    # descriptors mixed in, so it wins retrieval WITHOUT blowing past the
+    # reference's 0.8*maxCommonWords / 0.75*bestAccScore candidate gates
+    # (KeyFrameDatabase.cc:239-369) — a perceptual-aliasing decoy. Its 3D
+    # associations point at DEAD map-point rows: garbage geometry, and no
+    # covisibility with the real graph.
+    n = int(np.asarray(m.n_kfs))
+    rng = np.random.default_rng(5)
+    dead_ids = np.flatnonzero(~np.asarray(m.mp_valid))
+    fake_mp = rng.choice(dead_ids, size=m.P).astype(np.int32)
+    fake_mp = np.where(np.asarray(frame.valid), fake_mp, -1)
+    decoy_desc = np.asarray(m.kf_desc[n - 1]).copy()
+    mix = rng.random(m.P) < 0.1
+    decoy_desc[mix] = np.asarray(frame.kps.desc)[mix]
+    m2 = m._replace(
+        kf_desc=m.kf_desc.at[n].set(jnp.asarray(decoy_desc)),
+        kf_uv=m.kf_uv.at[n].set(frame.uv),
+        kf_angle=m.kf_angle.at[n].set(frame.kps.angle),
+        kf_octave=m.kf_octave.at[n].set(frame.kps.octave),
+        kf_kp_valid=m.kf_kp_valid.at[n].set(frame.valid),
+        kf_valid=m.kf_valid.at[n].set(True),
+        kf_mp=m.kf_mp.at[n].set(jnp.asarray(fake_mp)),
+        n_kfs=jnp.int32(n + 1))
+
+    # build the BoW index over all keyframes including the decoy
+    db = database.empty(cfg)
+    kf_node = jnp.full((m.K, m.P), -1, jnp.int32)
+    for row in range(n + 1):
+        wid, nid, tfidf = vocabulary.transform(
+            vocab, m2.kf_desc[row], m2.kf_kp_valid[row] & m2.kf_valid[row])
+        wt = vocabulary.bow_weights(wid, tfidf, vocab.num_words)
+        db = database.add(db, row, wid, wt, enable=True)
+        kf_node = kf_node.at[row].set(nid)
+
+    # the decoy really is the top-scoring retrieval
+    wid, _, tfidf = vocabulary.transform(vocab, frame.kps.desc, frame.valid)
+    wt = vocabulary.bow_weights(wid, tfidf, vocab.num_words)
+    scores, _ = database.query(db, wid, wt, vocab.num_words)
+    assert int(np.argmax(np.asarray(scores)[:n + 1])) == n
+
+    reloc = Relocalizer(cfg, vocab)
+    ok, q, t, kp_mp, n_inl, c = reloc.relocalize(
+        m2, db, kf_node, frame, jax.random.PRNGKey(0))
+    assert bool(ok), f"reloc failed with decoy present ({int(n_inl)} inliers)"
+    assert int(c) != n, "relocalized against the decoy"
+    # pose agrees with ground truth in the map frame
+    from orb_slam_2_ros_tpu.geometry import se3
+    R0, c0 = ds.gt_pose_wc(0)
+    gt_c = R0.T @ (ds.gt_pose_wc(qidx)[1] - c0)
+    cw = np.asarray(se3.camera_center(q, t))
+    assert np.linalg.norm(cw - gt_c) < 0.08, (cw, gt_c)
+
+
 def test_render_debug_image(run_result):
     cfg, ds, sys_, recs = run_result
     img = sys_.render_debug_image()
@@ -123,7 +240,7 @@ def test_metrics_and_reset(run_result):
     assert m["stages"]["tracking"]["mean_ms"] > 0
 
     # reset clears everything (Tracking.cc:1727-1765 protocol)
-    sys2 = System(cfg, enable_local_ba=False)
+    sys2 = System(cfg, enable_local_ba=False, enable_loop_closing=False)
     grays = np.stack([ds[i][0] for i in range(8)])
     depths = np.stack([ds[i][1] for i in range(8)])
     sys2.track_chunk(grays, depths, ds.timestamps[:8])

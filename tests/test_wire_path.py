@@ -66,7 +66,7 @@ def test_wire_path_matches_float_path(tmp_path):
     assert len(tum) == n
 
     # float path: indexed dataset reads
-    sys_f = System(cfg, enable_local_ba=False)
+    sys_f = System(cfg, enable_local_ba=False, enable_loop_closing=False)
     a = np.stack([tum[i][0] for i in range(n)])
     b = np.stack([tum[i][1] for i in range(n)])
     recs_f = sys_f.track_chunk(a, b, list(tum.timestamps))
@@ -79,7 +79,7 @@ def test_wire_path_matches_float_path(tmp_path):
     dw = np.stack([o[1] for o in out])
     assert gw.dtype == np.uint8 and dw.dtype == np.uint16
     pf.close()
-    sys_w = System(cfg, enable_local_ba=False)
+    sys_w = System(cfg, enable_local_ba=False, enable_loop_closing=False)
     recs_w = sys_w.track_chunk(gw, dw, list(tum.timestamps))
 
     assert [r.state for r in recs_f] == [r.state for r in recs_w]
