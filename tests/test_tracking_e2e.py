@@ -70,6 +70,36 @@ def test_reference_kf_fallback_recovers_bad_motion_model():
     assert ate < 0.03, f"ATE {ate:.4f} m after fallback recovery"
 
 
+def test_mid_chunk_loss_recovers_within_chunk():
+    """Relocalization runs only at chunk boundaries (documented deviation,
+    tracking.py): this measures what a MID-chunk loss actually costs. A
+    4-frame sensor blackout in the middle of a 16-frame chunk must lose
+    exactly the blacked-out frames — the predicated per-frame loop keeps
+    the last good pose/associations in the carry, so tracking re-acquires
+    on the FIRST valid frame after the blackout, not at the chunk boundary
+    (the reference reacts per frame, Tracking.cc:341-346; here the cost of
+    chunked relocalization is bounded by the blackout length itself when
+    the camera has not moved away)."""
+    cfg = small_cfg()
+    ds = SyntheticRGBD(cfg, n_frames=16, seed=0)
+    tr = Tracker(cfg)
+    grays = np.stack([ds[i][0] for i in range(16)])
+    depths = np.stack([ds[i][1] for i in range(16)])
+    # blackout frames 6..9 (mid-chunk): zero image, no depth
+    grays[6:10] = 0.0
+    depths[6:10] = -1.0
+    recs = tr.process_chunk(grays, depths, ds.timestamps)
+    states = [r.state for r in recs]
+    assert all(s == OK for s in states[:6]), states
+    assert all(s != OK for s in states[6:10]), states
+    # recovery on the first frames after the blackout, inside the chunk
+    n_lost_after = next((j for j, s in enumerate(states[10:]) if s == OK),
+                        None)
+    assert n_lost_after is not None, states
+    assert n_lost_after <= 1, (n_lost_after, states)
+    assert all(s == OK for s in states[10 + n_lost_after:]), states
+
+
 def test_trajectory_io_roundtrip(tmp_path):
     rng = np.random.default_rng(0)
     poses = []
