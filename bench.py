@@ -121,12 +121,23 @@ def main():
                              defer_fetch=defer)
         jax.block_until_ready(sys_.tracker.carry.q)
 
-    log("full-system warmup pass (compiles tracking+mapping+loop+GBA)...")
-    run_pass(defer=True)
-    sys_.tracker.flush()
-    warm_loops = sys_.loop_closer.n_loops_closed
-    log(f"warmup: {warm_loops} loops closed, "
-        f"{sys_.tracker.n_kfs} keyframes")
+    # targeted warmup: compile every program the timed pass will hit
+    # (tracking chunk, FULL and LIGHT mapping steps, BoW ingest/detect, the
+    # loop-correction program, the GBA start/step/finish chain) without
+    # paying a full extra pass through the sequence
+    log("warmup: compiling tracking + mapping + loop + GBA programs...")
+    for i in range(2):
+        sys_.track_chunk(*chunks[i], list(ts[i * C:(i + 1) * C]),
+                         defer_fetch=True)
+    lc = sys_.loop_closer
+    m_w = sys_.tracker.carry.m
+    _ = lc._close(m_w, lc.state, jnp.int32(0),
+                  jnp.maximum(m_w.n_kfs - 1, 0),
+                  jax.random.PRNGKey(0))      # compile; result discarded
+    st_w = lc._gba_start(m_w)
+    st_w = lc._gba_step(st_w)
+    m_d = lc._gba_finish(m_w, st_w)
+    jax.block_until_ready(m_d.kf_q)
     sys_.reset()
     sys_.tracker.records.clear()
     sys_._frame_counter = 0

@@ -118,6 +118,26 @@ def main(argv=None):
         from orb_slam_2_ros_tpu.place import vocabulary
         vocab = (vocabulary.load_npz(args.vocab) if args.vocab.endswith(".npz")
                  else vocabulary.load_orbvoc(args.vocab, cfg))
+    elif args.loop_closing and not args.load_map:
+        # no vocabulary file given: bootstrap one from the sequence's own
+        # imagery (the reference ships the pre-trained ORBvoc tree,
+        # README.md:12; with zero egress, in-domain self-training beats the
+        # random-descriptor fallback of pipeline.slam.default_vocabulary —
+        # retrieval is what gates loop closing and relocalization)
+        import jax.numpy as jnp
+        from orb_slam_2_ros_tpu.frontend import frame as frame_mod
+        from orb_slam_2_ros_tpu.place import vocabulary
+        n_total = min(len(ds), args.frames)
+        sample = range(0, n_total, max(1, n_total // 6))
+        descs = []
+        for i in sample:
+            a, b = ds[i]
+            f = frame_mod.build_mono(jnp.asarray(a, jnp.float32), cfg)
+            descs.append(np.asarray(f.kps.desc)[np.asarray(f.valid)])
+        print(f"training vocabulary on {sum(len(d) for d in descs)} "
+              f"descriptors from {len(descs)} frames...", flush=True)
+        vocab = vocabulary.train_vocabulary(np.concatenate(descs), cfg,
+                                            seed=args.seed)
     sys_ = System(cfg, enable_local_ba=not args.no_ba,
                   load_map=args.load_map,
                   enable_loop_closing=args.loop_closing, vocab=vocab)
