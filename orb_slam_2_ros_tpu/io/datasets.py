@@ -43,7 +43,10 @@ def make_prefetcher(ds, n_threads: int = 4, ring_cap: int = 32):
     library is unavailable — callers fall back to indexed __getitem__."""
     if native.load() is None or not hasattr(ds, "wire_paths"):
         return None
-    paths_a, paths_b, mode, depth_factor = ds.wire_paths()
+    wp = ds.wire_paths()
+    if wp is None:      # dataset needs host-side post-processing (rectify)
+        return None
+    paths_a, paths_b, mode, depth_factor = wp
     probe = _imread_gray(paths_a[0])
     h, w = probe.shape
     return native.Prefetcher(paths_a, paths_b, mode, w, h,
@@ -194,10 +197,35 @@ class KittiOdometry:
         }
 
 
-class EurocMav:
-    """EuRoC MAV dir: mav0/cam0/data + cam1/data with data.csv stamps."""
+def _parse_euroc_yaml(path: str) -> dict:
+    """Minimal reader for EuRoC ``sensor.yaml`` (flat keys + bracketed float
+    lists; no YAML dependency needed for this fixed schema)."""
+    import re
+    text = open(path).read()
+    out = {}
+    for key in ("intrinsics", "distortion_coefficients", "resolution"):
+        m = re.search(key + r":\s*\[([^\]]*)\]", text)
+        if m:
+            out[key] = np.fromstring(m.group(1), sep=",")
+    m = re.search(r"T_BS:.*?data:\s*\[([^\]]*)\]", text, re.S)
+    if m:
+        out["T_BS"] = np.fromstring(m.group(1), sep=",").reshape(4, 4)
+    return out
 
-    def __init__(self, root: str):
+
+class EurocMav:
+    """EuRoC MAV dir: mav0/cam0/data + cam1/data with data.csv stamps.
+
+    EuRoC cameras are UNRECTIFIED (radtan distortion + a relative
+    rotation); the reference's EuRoC path pre-rectifies with
+    ``cv::stereoRectify`` from ``sensor.yaml`` before tracking (the stock
+    stereo_euroc example — the row-band stereo matcher needs rectified
+    pairs, ``Frame.cc:502-676``). When both sensor.yaml files are present
+    this loader rectifies every pair through geometry/rectify.py and
+    reports the rectified intrinsics via ``calibration()``; without them
+    it passes frames through untouched (pre-rectified custom exports)."""
+
+    def __init__(self, root: str, rectify: bool = True):
         self.root = root
 
         def read_cam(cam):
@@ -218,14 +246,63 @@ class EurocMav:
         self.timestamps = [t0[i] for i, _ in pairs]
         self.left_files = [f0[i] for i, _ in pairs]
         self.right_files = [f1[j] for _, j in pairs]
+        self._maps = None
+        self._calib = None
+        if rectify:
+            try:
+                y0 = _parse_euroc_yaml(
+                    os.path.join(root, "mav0", "cam0", "sensor.yaml"))
+                y1 = _parse_euroc_yaml(
+                    os.path.join(root, "mav0", "cam1", "sensor.yaml"))
+                self._setup_rectification(y0, y1)
+            except (OSError, KeyError, ValueError, IndexError):
+                pass
+
+    def _setup_rectification(self, y0: dict, y1: dict):
+        from orb_slam_2_ros_tpu.geometry import rectify as rect
+        # T_BS: camera -> body; relative cam0 -> cam1: x1 = R x0 + t
+        T = np.linalg.inv(y1["T_BS"]) @ y0["T_BS"]
+        R, t = T[:3, :3], T[:3, 3]
+
+        def K_of(y):
+            fu, fv, cu, cv = y["intrinsics"]
+            return np.array([[fu, 0, cu], [0, fv, cv], [0, 0, 1.0]])
+
+        W, H = int(y0["resolution"][0]), int(y0["resolution"][1])
+        K0, K1 = K_of(y0), K_of(y1)
+        D0 = y0["distortion_coefficients"]
+        D1 = y1["distortion_coefficients"]
+        R0, R1, Kn, b = rect.stereo_rectify(K0, D0, K1, D1, R, t, (W, H))
+        self._maps = (rect.build_rectify_map(Kn, R0, K0, D0, (W, H)),
+                      rect.build_rectify_map(Kn, R1, K1, D1, (W, H)))
+        self._calib = {
+            "fx": float(Kn[0, 0]), "fy": float(Kn[1, 1]),
+            "cx": float(Kn[0, 2]), "cy": float(Kn[1, 2]),
+            "bf": float(Kn[0, 0] * b), "width": W, "height": H,
+            "k1": 0.0, "k2": 0.0, "p1": 0.0, "p2": 0.0, "k3": 0.0,
+        }
+
+    def calibration(self):
+        """Rectified intrinsics dict (fx, fy, cx, cy, bf, width, height,
+        zeroed distortion) or None when no sensor.yaml was found."""
+        return self._calib
 
     def __len__(self):
         return len(self.left_files)
 
     def __getitem__(self, i):
-        return (_imread_gray(self.left_files[i]),
-                _imread_gray(self.right_files[i]))
+        from orb_slam_2_ros_tpu.geometry import rectify as rect
+        l = _imread_gray(self.left_files[i])
+        r = _imread_gray(self.right_files[i])
+        if self._maps is not None:
+            l = rect.remap_bilinear(l, self._maps[0])
+            r = rect.remap_bilinear(r, self._maps[1])
+        return l, r
 
     def wire_paths(self):
+        # the native decoder streams RAW files; with rectification active
+        # frames must flow through __getitem__'s remap instead
+        if self._maps is not None:
+            return None
         return (list(self.left_files), list(self.right_files),
                 native.MODE_STEREO, 1.0)

@@ -110,6 +110,13 @@ def main(argv=None):
         from orb_slam_2_ros_tpu.io.datasets import EurocMav
         cfg = presets.get(preset_name, sensor)
         ds = EurocMav(args.path)
+        calib = ds.calibration()
+        if calib is not None:
+            # rectified intrinsics from the dataset's sensor.yaml pair
+            # (io/datasets.EurocMav + geometry/rectify.py ≙ the reference's
+            # cv::stereoRectify pre-pass in the stock stereo_euroc example)
+            import dataclasses as _dc
+            cfg = cfg.replace(camera=_dc.replace(cfg.camera, **calib))
 
     if args.localization_only:
         cfg = cfg.replace(localization_only=True)
