@@ -119,6 +119,9 @@ def main():
         for i, (g, d) in enumerate(chunks):
             sys_.track_chunk(g, d, list(ts[i * C:(i + 1) * C]),
                              defer_fetch=defer)
+        # end-of-sequence drain: async loop-detection verdicts + records —
+        # part of the shipped pipeline, so inside the timed region
+        sys_.flush()
         jax.block_until_ready(sys_.tracker.carry.q)
 
     # targeted warmup: compile every program the timed pass will hit
@@ -139,7 +142,8 @@ def main():
     m_d = lc._gba_finish(m_w, st_w)
     jax.block_until_ready(m_d.kf_q)
     sys_.reset()
-    sys_.tracker.records.clear()
+    sys_.tracker.flush()           # drain warmup device outs
+    sys_.tracker.records.clear()   # warmup records are not part of the run
     sys_._frame_counter = 0
     t0 = time.perf_counter()
     run_pass(defer=True)

@@ -108,6 +108,15 @@ class SolverConfig:
     essential_iters: int = 20     # essential-graph LM iterations (:1108)
     sim3_iters: int = 5           # OptimizeSim3 first pass (Optimizer.cc:1290)
     lm_lambda_init: float = 1e-3  # g2o default; essential graph uses 1e-16 (:1075)
+    local_ba_max_points: int = 4096  # compact free-landmark axis of the
+                                  # windowed BA: the Schur reductions run
+                                  # over this many free points (one-hot
+                                  # MXU segment sums, solvers/ba.py);
+                                  # overflow points stay fixed that step.
+                                  # The local window observes far fewer
+                                  # distinct points than the 16k pool —
+                                  # sizing the reduction to the window is
+                                  # what keeps the mapping step real-time.
 
 
 @dataclasses.dataclass(frozen=True)

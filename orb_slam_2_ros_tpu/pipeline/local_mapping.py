@@ -303,20 +303,19 @@ def cull_keyframes(m: map_state.MapState, cfg: SlamConfig, window: int = 20):
 
 
 class LocalMapper:
-    """Two compiled mapping programs over the same map:
+    """Compiled mapping programs over the same map, gated on device.
 
     - FULL: triangulation + fusion + windowed BA + point/keyframe culling +
       compaction + stat refresh — the complete ``LocalMapping::Run`` body.
-    - LIGHT: windowed BA + point culling + compaction only.
+    - LIGHT: windowed BA + point culling + compaction only (kept for
+      callers that want a cheaper refinement pass).
 
-    The System alternates full/light per chunk for stereo/RGB-D (depth
-    spawning at keyframe insertion keeps the map growing between full
-    steps; triangulation/fusion/refresh at every-other-chunk cadence is
-    still denser than the reference's per-keyframe cadence at typical
-    keyframe rates) and always runs FULL for monocular, where triangulation
-    is the only landmark spawner. Measured on chip: full 348 ms, light
-    ~halves it — the difference is what keeps the whole pipeline over
-    60 fps with loop closing on.
+    Every step is wrapped in a ``lax.cond`` on "did a keyframe arrive since
+    the previous step?" — the TPU-shaped equivalent of the reference's
+    consumer thread sleeping while ``CheckNewKeyFrames()`` is empty
+    (``LocalMapping.cc:50-126``). The System calls run() once per tracking
+    chunk; chunks that inserted no keyframe cost one no-op cond dispatch
+    instead of a full BA over an unchanged map.
     """
 
     def __init__(self, cfg: SlamConfig, window: int = 10,
@@ -324,7 +323,7 @@ class LocalMapper:
         self.cfg = cfg
         self.window = window
 
-        def _mapping_step(m: map_state.MapState, last_mp: jnp.ndarray,
+        def _mapping_body(m: map_state.MapState, last_mp: jnp.ndarray,
                           allow_compact: jnp.ndarray, full: bool):
             K, P, M = m.K, m.P, m.M
             if full:
@@ -432,20 +431,52 @@ class LocalMapper:
                 m = map_state.refresh_point_stats(m, cfg)
             return m, jnp.sum(cull.astype(jnp.int32)), last_mp
 
+        def _mapping_step(m: map_state.MapState, last_mp: jnp.ndarray,
+                          allow_compact: jnp.ndarray,
+                          prev_n_kfs: jnp.ndarray, full: bool):
+            """Device-gated step: the body only executes when a keyframe was
+            inserted since the previous step (``m.n_kfs`` moved past the
+            post-step count the mapper returned last time). The reference's
+            LocalMapping thread idles exactly the same way — its Run loop
+            does nothing while ``CheckNewKeyFrames()`` is empty
+            (``LocalMapping.cc:50-126``); rerunning local BA on an unchanged
+            map buys nothing. ``lax.cond`` keeps the check on device: the
+            host dispatch pattern stays fixed, no blocking scalar fetch."""
+            def run_branch(args):
+                return _mapping_body(*args, full)
+
+            def skip_branch(args):
+                m, last_mp, _ = args
+                return m, jnp.int32(0), last_mp
+
+            m, n_culled, last_mp = jax.lax.cond(
+                m.n_kfs > prev_n_kfs, run_branch, skip_branch,
+                (m, last_mp, allow_compact))
+            return m, n_culled, last_mp, m.n_kfs
+
         self._mapping_step_full = jax.jit(
-            lambda m, lmp, ac: _mapping_step(m, lmp, ac, True))
+            lambda m, lmp, ac, pn: _mapping_step(m, lmp, ac, pn, True))
         self._mapping_step_light = jax.jit(
-            lambda m, lmp, ac: _mapping_step(m, lmp, ac, False))
+            lambda m, lmp, ac, pn: _mapping_step(m, lmp, ac, pn, False))
+        # post-step keyframe count from the previous run (device scalar);
+        # -1 = never ran, first step always executes
+        self._prev_n_kfs = jnp.int32(-1)
 
     def run(self, m: map_state.MapState, last_mp: jnp.ndarray = None,
-            allow_compact: bool = True, full: bool = True):
+            allow_compact: bool = True, full: bool = True,
+            force: bool = False):
         """One mapping step. Returns (new_map, n_culled, last_mp') where
         last_mp' is the caller's keypoint->map-point association vector
         re-indexed through the compaction remap (pass the tracker's
         ``carry.last_mp``; omitted -> a dummy is threaded through).
         allow_compact=False freezes point-pool ids (background GBA in
-        flight); full=False runs the LIGHT program (BA + cull + compact)."""
+        flight); full=False runs the LIGHT program (BA + cull + compact).
+        The step no-ops on device unless a keyframe arrived since the last
+        step (force=True overrides, e.g. after a loop correction)."""
         if last_mp is None:
             last_mp = jnp.full((m.P,), -1, jnp.int32)
         step = self._mapping_step_full if full else self._mapping_step_light
-        return step(m, last_mp, jnp.asarray(allow_compact))
+        prev = jnp.int32(-1) if force else self._prev_n_kfs
+        m, n_culled, last_mp, self._prev_n_kfs = step(
+            m, last_mp, jnp.asarray(allow_compact), prev)
+        return m, n_culled, last_mp

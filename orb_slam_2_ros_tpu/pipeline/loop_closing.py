@@ -124,6 +124,9 @@ class LoopCloser:
         # ICI (parallel/dist_ba.distributed_gba_chunk, SURVEY.md §2.D)
         self.mesh = mesh
         self.state = empty_state(cfg)
+        # queue of dispatched-but-unchecked detection verdicts (see
+        # process(): consumed without blocking once ready on device)
+        self._pending_verdict = []
 
         @jax.jit
         def _ingest_and_detect(m: map_state.MapState, st: LoopState):
@@ -171,30 +174,50 @@ class LoopCloser:
             # window (:178-253) advances at per-KEYFRAME cadence even when
             # several keyframes land in one tracking chunk.
             n_before = st.n_ingested
+            # each unrolled iteration is a lax.cond: when the database has
+            # caught up with the keyframe pool (the common steady state —
+            # most chunks insert zero or one keyframe), the BoW transform +
+            # inverted-file update + candidate query are SKIPPED on device,
+            # like the reference's consumer loop sleeping on an empty queue
+            # (LoopClosing.cc:59-94); the host dispatch stays fixed-shape
             for _ in range(MAX_NEW_PER_STEP):
                 row = jnp.minimum(st.n_ingested, m.K - 1)
                 enable = st.n_ingested < m.n_kfs
-                wid, nid, tfidf = vocabulary.transform(
-                    vocab, m.kf_desc[row],
-                    m.kf_kp_valid[row] & m.kf_valid[row])
-                wt = vocabulary.bow_weights(wid, tfidf, vocab.num_words)
-                st = st._replace(
-                    db=database.add(st.db, row, wid, wt, enable=enable),
-                    kf_node=st.kf_node.at[row].set(
-                        jnp.where(enable, nid, st.kf_node[row])),
-                    n_ingested=st.n_ingested + enable.astype(jnp.int32))
-                st, best, found = detect(st, row, enable)
-                cand_out = jnp.where(found, best, cand_out)
-                k_out = jnp.where(found, row, k_out)
+
+                def ingest_one(args):
+                    st, cand_out, k_out = args
+                    wid, nid, tfidf = vocabulary.transform(
+                        vocab, m.kf_desc[row],
+                        m.kf_kp_valid[row] & m.kf_valid[row])
+                    wt = vocabulary.bow_weights(wid, tfidf, vocab.num_words)
+                    st = st._replace(
+                        db=database.add(st.db, row, wid, wt,
+                                        enable=jnp.array(True)),
+                        kf_node=st.kf_node.at[row].set(nid),
+                        n_ingested=st.n_ingested + 1)
+                    st, best, found = detect(st, row, jnp.array(True))
+                    return (st,
+                            jnp.where(found, best, cand_out),
+                            jnp.where(found, row, k_out))
+
+                st, cand_out, k_out = jax.lax.cond(
+                    enable, ingest_one, lambda a: a, (st, cand_out, k_out))
             # caught-up steps (nothing ingested) re-detect the newest
             # keyframe: a candidate that persists across steps still
             # accumulates consistency — without this, a map whose keyframe
             # stream has ended (static map, end of sequence) could hold a
             # genuine revisit forever at count 2
             newest = jnp.maximum(m.n_kfs - 1, 0)
-            st, best, found = detect(st, newest, st.n_ingested == n_before)
-            cand_out = jnp.where(found, best, cand_out)
-            k_out = jnp.where(found, newest, k_out)
+
+            def redetect(args):
+                st, cand_out, k_out = args
+                st, best, found = detect(st, newest, jnp.array(True))
+                return (st, jnp.where(found, best, cand_out),
+                        jnp.where(found, newest, k_out))
+
+            st, cand_out, k_out = jax.lax.cond(
+                (st.n_ingested == n_before) & (m.n_kfs > 0),
+                redetect, lambda a: a, (st, cand_out, k_out))
             return st, cand_out, k_out
 
         @jax.jit
@@ -497,6 +520,8 @@ class LoopCloser:
         same order-preserving permutation; culled rows dropped. Rare
         host-synchronous event — plain numpy permute + re-upload."""
         import numpy as np
+        # pending detection verdicts index pre-compaction rows — drop them
+        self._pending_verdict = []
         st = self.state
         K = len(remap_np)
         kept_old = np.flatnonzero(remap_np >= 0)
@@ -556,21 +581,56 @@ class LoopCloser:
             loop_rs=jnp.asarray(lrs2),
             n_loop_edges=jnp.int32(n_kept))
 
-    def process(self, m: map_state.MapState):
+    def process(self, m: map_state.MapState, defer: bool = True):
         """One loop-closing step: ingest new keyframes, detect, and — when a
         consistent candidate exists — run the correction program.
 
-        Returns (possibly corrected) map. One scalar fetch per call decides
-        whether the heavy program runs (the reference's thread boundary)."""
-        self.state, cand, k = self._ingest_and_detect(m, self.state)
-        cand = int(jax.device_get(cand))
+        Returns (possibly corrected) map. Detection verdicts are consumed
+        ASYNCHRONOUSLY by default (defer=True): each call dispatches the
+        ingest/detect program, enqueues its verdict scalar, and drains only
+        verdicts that are already ready on device — the host never blocks
+        on in-flight compute, so tracking dispatch keeps running ahead of
+        the loop thread's work, exactly like the reference's asynchronous
+        LoopClosing thread reacting a beat after the keyframe lands
+        (``LoopClosing.cc:59-94``). Keyframe row indices stay valid across
+        the gap (pool compaction is the rare host event that re-indexes,
+        and it flows through apply_kf_compaction). End-of-sequence verdicts
+        are drained by finish_pending() (System.flush). defer=False keeps
+        the synchronous single-call behavior for tests/tools."""
+        self.state, cand_dev, k_dev = self._ingest_and_detect(m, self.state)
+        if not defer:
+            return self._consume_verdict(m, cand_dev, k_dev)
+        self._pending_verdict.append((cand_dev, k_dev))
+        closed_any = False
+        while self._pending_verdict and self._pending_verdict[0][0].is_ready():
+            cand_dev, k_dev = self._pending_verdict.pop(0)
+            m, closed = self._consume_verdict(m, cand_dev, k_dev)
+            closed_any = closed_any or closed
+        return m, closed_any
+
+    def finish_pending(self, m: map_state.MapState):
+        """Drain every queued detection verdict, blocking as needed (end of
+        a tracking call / sequence). Returns (map, any_closed)."""
+        closed_any = False
+        while self._pending_verdict:
+            cand_dev, k_dev = self._pending_verdict.pop(0)
+            m, closed = self._consume_verdict(m, cand_dev, k_dev)
+            closed_any = closed_any or closed
+        return m, closed_any
+
+    def _consume_verdict(self, m: map_state.MapState, cand_dev, k_dev):
+        cand = int(jax.device_get(cand_dev))
         if cand < 0:
             return m, False
         self._key, sub = jax.random.split(self._key)
         m2, st2, accepted, n_inl = self._close(
-            m, self.state, jnp.int32(cand), k, sub)
+            m, self.state, jnp.int32(cand), k_dev, sub)
         accepted = bool(jax.device_get(accepted))
         if accepted:
+            # drop any not-yet-checked verdicts: they predate this
+            # correction and would re-close the same seam against the
+            # corrected map
+            self._pending_verdict = []
             self.state = st2
             self.n_loops_closed += 1
             # a newer loop invalidates any in-flight GBA — its snapshot

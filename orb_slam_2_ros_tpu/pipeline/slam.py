@@ -85,9 +85,6 @@ class System:
         # rows are compacted away (Map::EraseKeyFrame, Map.cc:81-97)
         self._chunks_since_kf_check = 0
         self._kf_compact_watermark = 0.85
-        # alternate FULL / LIGHT mapping steps (LocalMapper docstring);
-        # monocular always runs FULL (triangulation is its only spawner)
-        self._map_full_toggle = True
         self.n_kf_compactions = 0
         # monocular bootstrap (MonocularInitialization, Tracking.cc:633-816)
         self.mono_init = None
@@ -157,19 +154,18 @@ class System:
                 recs += self.tracker.process_chunk(
                     grays[w0:w1], depths[w0:w1], timestamps[w0:w1],
                     defer_fetch=defer_fetch, prestaged=wire)
-            # mapping: one windowed-BA step per chunk, unconditionally —
-            # checking "was a keyframe inserted?" would need a device fetch,
-            # which permanently degrades the relay's launch latency
+            # mapping: one step per chunk, gated ON DEVICE — the program
+            # no-ops via lax.cond unless the chunk inserted a keyframe
+            # (the reference's LocalMapping thread idles while its queue is
+            # empty, LocalMapping.cc:50-126; the host never fetches, so the
+            # relay's launch pattern stays fixed)
             gba_running = (self.loop_closer is not None
                            and self.loop_closer.gba_running)
             if self.mapper is not None and not self.localization_only:
-                full = (self.cfg.sensor == SENSOR_MONOCULAR
-                        or self._map_full_toggle)
-                self._map_full_toggle = not self._map_full_toggle
                 with self.timers.time("local_mapping"):
                     m2, n_culled, last_mp2 = self.mapper.run(
                         self.tracker.carry.m, self.tracker.carry.last_mp,
-                        allow_compact=not gba_running, full=full)
+                        allow_compact=not gba_running, full=True)
                     self.tracker.carry = self.tracker.carry._replace(
                         m=m2, last_mp=last_mp2)
                     self._culled_dev.append(n_culled)
@@ -282,10 +278,13 @@ class System:
         self.tracker.carry = self.tracker._fresh_carry(
             map_state.empty(self.cfg))
         self.tracker.state = NOT_INITIALIZED
+        if self.mapper is not None:
+            self.mapper._prev_n_kfs = jnp.int32(-1)
         if self.loop_closer is not None:
             from orb_slam_2_ros_tpu.pipeline.loop_closing import empty_state
             self.loop_closer.state = empty_state(self.cfg)
             self.loop_closer.gba = None    # abort any in-flight GBA
+            self.loop_closer._pending_verdict = []
         if self.mono_init is not None:
             self.mono_init.ref = None
             self._mono_initialized = False
@@ -382,6 +381,14 @@ class System:
         return False
 
     def flush(self) -> List[FrameRecord]:
+        """Drain deferred work (queued loop-detection verdicts) and fetch
+        all pending frame records. Call at end of a sequence / before
+        reading trajectories or loop counters."""
+        if (self.loop_closer is not None and self.loop_closing_enabled
+                and not self.localization_only):
+            m2, closed = self.loop_closer.finish_pending(self.tracker.carry.m)
+            if closed:
+                self.tracker.adopt_map(m2)
         return self.tracker.flush()
 
     @property
@@ -505,6 +512,7 @@ class System:
             # rows enter the database
             from orb_slam_2_ros_tpu.pipeline.loop_closing import empty_state
             self.loop_closer.state = empty_state(self.cfg)
+            self.loop_closer._pending_verdict = []
         return True
 
     # --------------------------------------------------------- trajectories

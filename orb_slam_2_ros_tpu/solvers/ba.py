@@ -401,11 +401,20 @@ def windowed_bundle_adjustment(kf_q, kf_t, window_rows, kf_uv, kf_ur,
     hundreds of ms. With only W free cameras (the local window,
     ``Optimizer.cc:517-590``), the Schur complement S is a dense
     (6W x 6W) matrix that can be built with ONE pass: camera-side terms are
-    row-broadcasts over the (K, P) observation table (zero gathers), the
-    landmark cross-terms come from a single scatter of per-edge 6x3 blocks
-    into a (M, W, 6, 3) tensor followed by MXU einsums, and the solve is a
-    tiny dense Cholesky. Fixed cameras still constrain landmarks through
-    the point-side normal equations.
+    row-broadcasts over the (K, P) observation table (zero gathers), and
+    the solve is a tiny dense system. Fixed cameras still constrain
+    landmarks through the point-side normal equations.
+
+    The landmark-side reductions (gp, Hpp, the camera-landmark cross
+    blocks T) are NOT scatter-adds: TPU scatter retires ~1 index/cycle, so
+    the ~30k-edge scatter into the 16k-point pool used to dominate the LM
+    iteration (~16 ms measured). Instead the free landmarks are compacted
+    to a dense axis of MW = cfg.solver.local_ba_max_points slots and the
+    per-edge blocks are segment-summed by ONE-HOT MATMULS on the MXU, one
+    (P x MW) one-hot per camera row inside a lax.scan — the same
+    incidence-matmul idiom as map/state.covisibility. Free points beyond
+    MW (never seen at local-window scale with default capacities) stay
+    fixed for the step.
 
     kf_q (K, 4), kf_t (K, 3): ALL keyframe poses; window_rows (W,) int32
     rows that are free (-1 padding); kf_uv/kf_ur/kf_octave/kf_mp/kp_valid:
@@ -418,6 +427,7 @@ def windowed_bundle_adjustment(kf_q, kf_t, window_rows, kf_uv, kf_ur,
     Wn = window_rows.shape[0]
     sc = cfg.solver
     cam = cfg.camera
+    MW = min(sc.local_ba_max_points, M)
 
     win_valid = window_rows >= 0
     wr = jnp.clip(window_rows, 0)
@@ -437,10 +447,25 @@ def windowed_bundle_adjustment(kf_q, kf_t, window_rows, kf_uv, kf_ur,
     comp_w0 = jnp.stack([jnp.ones_like(kf_ur), jnp.ones_like(kf_ur),
                          is_stereo.astype(jnp.float32)], -1)     # (K, P, 3)
 
-    def edge_terms(q, t, pos):
+    # ---- compact free-landmark table: free pool row -> [0, MW) slot
+    rank = jnp.cumsum(mp_free.astype(jnp.int32)) - 1
+    in_compact = mp_free & (rank < MW)
+    cid_of_mp = jnp.where(in_compact, rank, MW)                 # (M,)
+    free_ids = jnp.zeros((MW + 1,), jnp.int32).at[cid_of_mp].set(
+        jnp.arange(M, dtype=jnp.int32), mode="drop")[:MW]       # slot -> row
+    n_free = jnp.sum(in_compact.astype(jnp.int32))
+    cmask = jnp.arange(MW) < n_free                             # filled slots
+    edge_cid = cid_of_mp[mp_idx]                                # (K, P)
+    edge_free = edge_cid < MW
+    pw_fix = mp_pos[mp_idx]            # (K, P, 3) frozen non-free positions
+    cpos0 = mp_pos[free_ids] * cmask[:, None].astype(mp_pos.dtype)
+
+    def edge_terms(q, t, cpos):
         """Residuals/Jacobians over the (K, P) table; cameras broadcast per
-        row (no gathers on the camera side)."""
-        pw = pos[mp_idx]                                     # (K, P, 3) gather
+        row (no gathers on the camera side); free-landmark positions come
+        from the compact table, fixed ones from the frozen snapshot."""
+        pw = jnp.where(edge_free[..., None],
+                       cpos[jnp.clip(edge_cid, 0, MW - 1)], pw_fix)
         xc = se3.apply(q[:, None, :], t[:, None, :], pw)
         x, y = xc[..., 0], xc[..., 1]
         z = jnp.maximum(xc[..., 2], _EPS)
@@ -483,10 +508,8 @@ def windowed_bundle_adjustment(kf_q, kf_t, window_rows, kf_uv, kf_ur,
         w = jnp.where(ok, inv_sigma2 * w_rob, 0.0)
         return w[..., None] * comp_w0, jnp.sum(jnp.where(ok, rho, 0.0))
 
-    mpf = mp_free.astype(jnp.float32)[:, None]
-
-    def lm_step(q, t, pos, edge_mask, use_kernel, lam, err):
-        e, Jc, Jp, z = edge_terms(q, t, pos)
+    def lm_step(q, t, cpos, edge_mask, use_kernel, lam, err):
+        e, Jc, Jp, z = edge_terms(q, t, cpos)
         Wt, _ = weights(e, z, edge_mask, use_kernel)         # (K, P, 3)
         cam_on = (loc >= 0).astype(jnp.float32)[:, None, None]  # (K,1,1)
         Wc = Wt * cam_on                                     # cam-side weights
@@ -498,25 +521,45 @@ def windowed_bundle_adjustment(kf_q, kf_t, window_rows, kf_uv, kf_ur,
         gc = gc_k[wr] * win_valid[:, None]
         Hcc = Hcc_k[wr] * win_valid[:, None, None]
 
-        # point side: one flat scatter pass
-        flat_mp = jnp.where(edge_mask, kf_mp, M).ravel()
-        gp = jnp.zeros((M + 1, 3)).at[flat_mp].add(
-            jnp.einsum("kpin,kpi->kpn", Jp, We).reshape(-1, 3))[:M]
-        Hpp = jnp.zeros((M + 1, 3, 3)).at[flat_mp].add(
-            jnp.einsum("kpin,kpi,kpim->kpnm", Jp, Wt, Jp).reshape(-1, 3, 3)
-        )[:M]
+        # point side: one-hot segment sums on the MXU, one camera row per
+        # scan step. Edges whose landmark is fixed/invalid have
+        # edge_cid == MW and match NO one-hot column, so they vanish from
+        # the landmark system without any masking pass; HIGHEST matmul
+        # precision keeps the f32 Hessian blocks exact (the 0/1 left
+        # operand is representable, the right operand must not be
+        # truncated to bf16).
+        pv = jnp.concatenate([
+            jnp.einsum("kpin,kpi->kpn", Jp, We),
+            jnp.einsum("kpin,kpi,kpim->kpnm", Jp, Wt, Jp).reshape(K, P, 9),
+        ], -1)                                               # (K, P, 12)
+        Bv = jnp.einsum("kpin,kpi,kpim->kpnm", Jc, Wc, Jp).reshape(K, P, 18)
+        cid_masked = jnp.where(edge_mask, edge_cid, MW)
 
-        # landmark-camera cross blocks -> (M, Wn, 6, 3)
-        B = jnp.einsum("kpin,kpi,kpim->kpnm", Jc, Wc, Jp)    # (K, P, 6, 3)
-        loc_e = jnp.broadcast_to(loc[:, None], (K, P)).ravel()
-        tgt_m = jnp.where((loc_e >= 0) & (flat_mp < M), flat_mp, M)
-        T = jnp.zeros((M + 1, Wn, 6, 3)).at[
-            tgt_m, jnp.clip(loc_e, 0)].add(B.reshape(-1, 6, 3))[:M]
+        def row_body(carry, xs):
+            acc_p, acc_t = carry
+            cid_r, pv_r, b_r, loc_r = xs
+            oh = (cid_r[:, None] == jnp.arange(MW)[None, :]).astype(
+                jnp.float32)                                 # (P, MW)
+            acc_p = acc_p + jnp.matmul(
+                oh.T, pv_r, precision=jax.lax.Precision.HIGHEST)
+            ct = jnp.matmul(oh.T, b_r,
+                            precision=jax.lax.Precision.HIGHEST)  # (MW, 18)
+            acc_t = acc_t.at[:, jnp.clip(loc_r, 0)].add(
+                jnp.where(loc_r >= 0, ct, 0.0))
+            return (acc_p, acc_t), None
 
-        # damped landmark inverses (fixed points excluded from Schur)
+        (acc_p, acc_t), _ = jax.lax.scan(
+            row_body,
+            (jnp.zeros((MW, 12)), jnp.zeros((MW, Wn, 18))),
+            (cid_masked, pv, Bv, loc))
+        gp = acc_p[:, :3]                                    # (MW, 3)
+        Hpp = acc_p[:, 3:].reshape(MW, 3, 3)
+        T = acc_t.reshape(MW, Wn, 6, 3)
+
+        # damped landmark inverses (unfilled slots excluded from Schur)
         Hpp_d = Hpp + (lam * jnp.einsum("mii->mi", Hpp) + 1e-8)[..., None] \
             * jnp.eye(3)
-        Hpp_inv = _inv3x3(Hpp_d) * mpf[..., None]
+        Hpp_inv = _inv3x3(Hpp_d) * cmask[:, None, None].astype(jnp.float32)
 
         bp = -gp
         bc = -gc
@@ -557,29 +600,28 @@ def windowed_bundle_adjustment(kf_q, kf_t, window_rows, kf_uv, kf_ur,
         qw_new, tw_new = se3.compose(dq, dt, q[wr], t[wr])
         q_new = q.at[wr].set(jnp.where(win_valid[:, None], qw_new, q[wr]))
         t_new = t.at[wr].set(jnp.where(win_valid[:, None], tw_new, t[wr]))
-        pos_new = pos + xp * mpf
+        cpos_new = cpos + xp * cmask[:, None].astype(jnp.float32)
 
-        e2, _, _, z2 = edge_terms(q_new, t_new, pos_new)
+        e2, _, _, z2 = edge_terms(q_new, t_new, cpos_new)
         _, err_new = weights(e2, z2, edge_mask, use_kernel)
         improved = err_new < err
         q = jnp.where(improved, q_new, q)
         t = jnp.where(improved, t_new, t)
-        pos = jnp.where(improved, pos_new, pos)
+        cpos = jnp.where(improved, cpos_new, cpos)
         lam = jnp.clip(jnp.where(improved, lam * 0.3, lam * 5.0), 1e-10, 1e8)
         err_prev = err
         err = jnp.where(improved, err_new, err)
         # convergence exit (cf. pose_opt.lm_round): the loop is the mapping
-        # step's dominant cost (~16 ms/iteration, measured) and typically
-        # converges well before the reference's fixed 5+10 budget — a tiny
-        # camera step, a stalled error, or blown-up damping all mean further
-        # iterations buy nothing
+        # step's dominant cost and typically converges well before the
+        # reference's fixed 5+10 budget — a tiny camera step, a stalled
+        # error, or blown-up damping all mean further iterations buy nothing
         done = ((jnp.sum(xc * xc) < 1e-8)
                 | (improved & (err_prev - err_new < 1e-5 * err_prev))
                 | (~improved & (lam > 1e4)))
-        return q, t, pos, lam, err, done
+        return q, t, cpos, lam, err, done
 
-    def lm_phase(q, t, pos, edge_mask, use_kernel, n_iters):
-        e, _, _, z = edge_terms(q, t, pos)
+    def lm_phase(q, t, cpos, edge_mask, use_kernel, n_iters):
+        e, _, _, z = edge_terms(q, t, cpos)
         _, err0 = weights(e, z, edge_mask, use_kernel)
 
         def cond(carry):
@@ -587,22 +629,25 @@ def windowed_bundle_adjustment(kf_q, kf_t, window_rows, kf_uv, kf_ur,
             return (i < n_iters) & ~done
 
         def body(carry):
-            i, q, t, pos, lam, err, _ = carry
-            q, t, pos, lam, err, done = lm_step(q, t, pos, edge_mask,
-                                                use_kernel, lam, err)
-            return i + 1, q, t, pos, lam, err, done
+            i, q, t, cpos, lam, err, _ = carry
+            q, t, cpos, lam, err, done = lm_step(q, t, cpos, edge_mask,
+                                                 use_kernel, lam, err)
+            return i + 1, q, t, cpos, lam, err, done
 
-        _, q, t, pos, _, _, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), q, t, pos, jnp.float32(1e-4), err0,
+        _, q, t, cpos, _, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), q, t, cpos, jnp.float32(1e-4), err0,
                          jnp.array(False)))
-        return q, t, pos
+        return q, t, cpos
 
-    q, t, pos = kf_q, kf_t, mp_pos
+    q, t, cpos = kf_q, kf_t, cpos0
     edge_mask = edge_valid0
     for i, n_iters in enumerate(phases):
         use_kernel = i == 0
-        q, t, pos = lm_phase(q, t, pos, edge_mask, use_kernel, n_iters)
-        e, _, _, z = edge_terms(q, t, pos)
+        q, t, cpos = lm_phase(q, t, cpos, edge_mask, use_kernel, n_iters)
+        e, _, _, z = edge_terms(q, t, cpos)
         chi2 = jnp.sum(e * e * comp_w0, -1) * inv_sigma2
         edge_mask = edge_valid0 & (chi2 <= delta2) & (z > _EPS)
+    # write the optimized free landmarks back into the full pool (one
+    # MW-row scatter per BA call, not per iteration)
+    pos = mp_pos.at[jnp.where(cmask, free_ids, M)].set(cpos, mode="drop")
     return q, t, pos, edge_mask

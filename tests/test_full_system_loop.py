@@ -48,6 +48,9 @@ def test_system_closes_loop_on_revisit_sequence():
 
     sys_ = System(cfg, enable_local_ba=True, ba_window=8, vocab=voc)
     recs = sys_.track_chunk(grays, depths, ds.timestamps)
+    # end-of-sequence drain: detection verdicts are consumed asynchronously
+    # (LoopCloser.process defer=True); flush() checks any still queued
+    sys_.flush()
 
     ok = [r for r in recs if r.state == OK]
     assert len(ok) >= n - 4, [r.state for r in recs]

@@ -189,7 +189,7 @@ def test_loop_closes_and_corrects_drift():
     # ingestion covers MAX_NEW_PER_STEP keyframes per call, then the
     # consistency counter needs >= 3 consecutive detections
     for _ in range(8):
-        m, did = lc.process(m)
+        m, did = lc.process(m, defer=False)
         closed = closed or did
     assert closed, "loop was never closed"
     assert lc.n_loops_closed >= 1
@@ -227,7 +227,7 @@ def test_no_loop_without_revisit():
     voc = vocabulary.train_vocabulary(descs, cfg, seed=0)
     lc = LoopCloser(cfg, voc, min_kfs_between_loops=6)
     for _ in range(4):
-        m, did = lc.process(m)
+        m, did = lc.process(m, defer=False)
         assert not did
     assert lc.n_loops_closed == 0
 
@@ -243,7 +243,7 @@ def test_loop_fuses_seam_duplicates():
     lc = LoopCloser(cfg, voc, min_kfs_between_loops=6)
     closed = False
     for _ in range(8):
-        m, did = lc.process(m)
+        m, did = lc.process(m, defer=False)
         closed = closed or did
     assert closed
     mp_first = np.asarray(m.mp_first_kf)
@@ -276,7 +276,7 @@ def test_culled_keyframe_follows_loop_correction():
     lc = LoopCloser(cfg, voc, min_kfs_between_loops=6)
     closed = False
     for _ in range(8):
-        m, did = lc.process(m)
+        m, did = lc.process(m, defer=False)
         closed = closed or did
     assert closed
     _, trn_after = pose_err_deg_m(m.kf_q[cull], m.kf_t[cull], *gt[cull])
@@ -375,7 +375,7 @@ def test_second_loop_preserves_first_seam():
     voc = vocabulary.train_vocabulary(descs, cfg, seed=0)
     lc = LoopCloser(cfg, voc, min_kfs_between_loops=6)
     for _ in range(8):
-        m, did = lc.process(m)
+        m, did = lc.process(m, defer=False)
     assert lc.n_loops_closed == 1
     assert int(lc.state.n_loop_edges) == 1
     seam1 = pose_err_deg_m(m.kf_q[N_KF - 1], m.kf_t[N_KF - 1],
@@ -387,7 +387,7 @@ def test_second_loop_preserves_first_seam():
                          drift_xi2=(-0.12, 0.05, 0.1, 0.02, 0.0, -0.03))
     closed2 = False
     for _ in range(10):
-        m, did = lc.process(m)
+        m, did = lc.process(m, defer=False)
         closed2 = closed2 or did
     assert closed2, "second loop was never closed"
     assert lc.n_loops_closed == 2
@@ -417,7 +417,7 @@ def test_background_gba_matches_synchronous():
     lc = LoopCloser(cfg, voc, min_kfs_between_loops=6, background_gba=True)
     closed = False
     for _ in range(8):
-        m, did = lc.process(m)
+        m, did = lc.process(m, defer=False)
         closed = closed or did
         if did:
             break
@@ -451,7 +451,7 @@ def test_second_loop_aborts_inflight_gba():
     voc = vocabulary.train_vocabulary(descs, cfg, seed=0)
     lc = LoopCloser(cfg, voc, min_kfs_between_loops=6, background_gba=True)
     for _ in range(8):
-        m, did = lc.process(m)
+        m, did = lc.process(m, defer=False)
     assert lc.n_loops_closed == 1 and lc.gba_running
     m, _ = lc.step_background(m)      # first GBA in flight, partially done
     assert lc.gba_running
@@ -461,7 +461,7 @@ def test_second_loop_aborts_inflight_gba():
     # deliberately do NOT step the first GBA while the second loop is being
     # detected — it must still be in flight when the second loop lands
     for _ in range(10):
-        m, did = lc.process(m)
+        m, did = lc.process(m, defer=False)
         if did:
             break
     assert lc.n_loops_closed == 2
@@ -504,7 +504,7 @@ def test_mono_loop_corrects_scale_drift():
     lc = LoopCloser(cfg, voc, min_kfs_between_loops=6)
     closed = False
     for _ in range(8):
-        m, did = lc.process(m)
+        m, did = lc.process(m, defer=False)
         closed = closed or did
         if did:
             break
