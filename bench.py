@@ -149,7 +149,9 @@ def main():
     run_pass(defer=True)
     dt = time.perf_counter() - t0
     fps_sys = n_loop / dt
-    recs = sys_.tracker.flush()
+    # run_pass's sys_.flush() already drained the device outs into
+    # sys_.records — count OK frames there, not from a second (empty) flush
+    recs = sys_.records
     n_ok = sum(r.state == OK for r in recs)
     loops = sys_.loop_closer.n_loops_closed
     log(f"full system: {fps_sys:.1f} fps, {n_ok}/{n_loop} OK, "
@@ -165,6 +167,37 @@ def main():
     results["slam_system_fps_1chip"] = round(fps_sys, 2)
     results["slam_system_ate_m"] = round(float(ate), 4)
     results["loops_closed"] = int(loops)
+
+    # ---------------- hard pass: two revisits + exposure drift -------------
+    # every viewpoint revisits twice under a ±25% photometric sweep; a
+    # correct pipeline closes BOTH loops and holds tracking-grade composed
+    # ATE (BASELINE.md hard-proxy suite)
+    n_hard = 192
+    log(f"rendering {n_hard} two-loop frames with exposure drift...")
+    ds_h = SyntheticRGBD(cfg, n_frames=n_hard, seed=0, trajectory="twoloop",
+                         exposure_drift=0.25)
+    grays_h = np.stack([ds_h[i][0] for i in range(n_hard)])
+    depths_h = np.stack([ds_h[i][1] for i in range(n_hard)])
+    sys_h = System(cfg, vocab=voc)
+    chunks_h = stage_chunks(sys_h.tracker, grays_h, depths_h, C)
+    t0 = time.perf_counter()
+    for i, (g, d) in enumerate(chunks_h):
+        sys_h.track_chunk(g, d, list(ds_h.timestamps[i * C:(i + 1) * C]),
+                          defer_fetch=True)
+    sys_h.flush()
+    jax.block_until_ready(sys_h.tracker.carry.q)
+    dt = time.perf_counter() - t0
+    n_ok_h = sum(r.state == OK for r in sys_h.records)
+    poses, tstamps = sys_h.tracker.composed_trajectory()
+    est = np.stack([c for _, c in poses])
+    R0, c0 = ds_h.gt_pose_wc(0)
+    idx = {t: i for i, t in enumerate(ds_h.timestamps)}
+    gt = np.stack([R0.T @ (ds_h.gt_pose_wc(idx[t])[1] - c0) for t in tstamps])
+    ate_h = ate_rmse(est, gt)
+    log(f"hard pass: {n_hard / dt:.1f} fps, {n_ok_h}/{n_hard} OK, "
+        f"{sys_h.loop_closer.n_loops_closed} loops, ATE {ate_h:.4f} m")
+    results["slam_hard_ate_m"] = round(float(ate_h), 4)
+    results["hard_loops_closed"] = int(sys_h.loop_closer.n_loops_closed)
 
     # ---------------- tracking-only: RGB-D / stereo / mono -----------------
     n_tr = 96
@@ -182,6 +215,29 @@ def main():
     ds_s = SyntheticStereo(cfg_s, n_frames=n_st, seed=0)
     fps_stereo, _, _ = bench_tracker_only(cfg_s, ds_s, n_st, "stereo tracking")
     results["stereo_tracking_fps_1chip"] = round(fps_stereo, 2)
+
+    # stereo SYSTEM (tracking + mapping, the TrackStereo pipeline end to end)
+    sys_s = System(cfg_s, enable_loop_closing=False)
+    grays_s = np.stack([ds_s[i][0] for i in range(n_st)])
+    rights_s = np.stack([ds_s[i][1] for i in range(n_st)])
+    chunks_s = stage_chunks(sys_s.tracker, grays_s, rights_s,
+                            sys_s.tracker.chunk)
+    Cs = sys_s.tracker.chunk
+    sys_s.track_chunk(*chunks_s[0], list(ds_s.timestamps[:Cs]),
+                      defer_fetch=True)      # warm/compile
+    jax.block_until_ready(sys_s.tracker.carry.q)
+    t0 = time.perf_counter()
+    for i in range(1, len(chunks_s)):
+        sys_s.track_chunk(*chunks_s[i],
+                          list(ds_s.timestamps[i * Cs:(i + 1) * Cs]),
+                          defer_fetch=True)
+    jax.block_until_ready(sys_s.tracker.carry.q)
+    dt = time.perf_counter() - t0
+    fps_stereo_sys = (n_st - Cs) / dt
+    recs_s = sys_s.flush()
+    n_ok_s = sum(r.state == OK for r in sys_s.records)
+    log(f"stereo system: {fps_stereo_sys:.1f} fps, {n_ok_s} OK frames")
+    results["stereo_system_fps_1chip"] = round(fps_stereo_sys, 2)
 
     # monocular: System-level (two-view bootstrap + tracking + mapping per
     # chunk — mono cannot track without its triangulating mapper)

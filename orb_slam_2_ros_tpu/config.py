@@ -85,8 +85,11 @@ class MatcherConfig:
     histo_length: int = 30    # rotation-consistency histogram bins
     nn_ratio_tracking: float = 0.9   # ratio test, local-map search (Tracking.cc:1068)
     nn_ratio_bow: float = 0.7        # ratio test, BoW search (Tracking.cc:855)
-    grid_cols: int = 64       # feature grid (Frame.h:37-38)
-    grid_rows: int = 48
+    # NOTE: the reference's 64x48 feature grid (Frame.h:37-38,
+    # Frame.cc:239-256) is a CPU candidate-pruning accelerator; here every
+    # window gate is evaluated inside the fused Pallas matcher kernel
+    # (ops/pallas_match.py) or as masked matrix ops, so no grid exists —
+    # same accept semantics, no bucketing data structure.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -142,12 +145,22 @@ class MapConfig:
                                   # full 16k point pool per frame)
     min_obs_cull: int = 3         # map-point culling min observations (LocalMapping.cc:219)
     kf_cull_redundancy: float = 0.9   # keyframe culling rule (LocalMapping.cc:686)
-    tri_neighbors: int = 4        # covisible neighbors triangulated against
-                                  # per mapping step; the reference sweeps
-                                  # 10 (stereo) / 20 (mono) per keyframe
-                                  # (LocalMapping.cc:247) — a smaller static
-                                  # pass count trades per-step cost for
-                                  # breadth, later steps revisit the rest
+    tri_neighbors: int = 10       # covisible neighbors triangulated against
+                                  # per mapping step — the reference's
+                                  # breadth: 10 stereo/RGB-D, doubled to 20
+                                  # for monocular (LocalMapping.cc:247).
+                                  # All neighbors are matched/gated in ONE
+                                  # vmapped pass with a scatter-min winner
+                                  # pick, so breadth costs far less than
+                                  # the old sequential per-neighbor loop
+    fuse_neighbors: int = 4       # covisible neighbors swept by duplicate
+                                  # fusion per step (SearchInNeighbors uses
+                                  # 10/20 + a second ring,
+                                  # LocalMapping.cc:506-511; the fusion
+                                  # sweep is sequential two-directional
+                                  # projection, so a smaller count trades
+                                  # per-step cost — later steps revisit as
+                                  # covisibility reshuffles the top ranks)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -146,17 +146,52 @@ def loop_trajectory(n_frames: int, radius: float = 1.2,
     return poses
 
 
+def fast_rotation_trajectory(n_frames: int, peak_rate: float = 0.045):
+    """Near-stationary camera with an aggressive yaw sweep (peak
+    ``peak_rate`` rad/frame ≈ 77 deg/s at 30 fps): the hard case for the
+    constant-velocity motion model — rotation flow with almost no parallax,
+    forcing the widened-window / reference-keyframe fallbacks
+    (``Tracking.cc:1002-1016``, ``:328-339``) to carry tracking."""
+    poses = []
+    yaw = 0.0
+    for i in range(n_frames):
+        s = i / max(n_frames - 1, 1)
+        yaw += peak_rate * np.sin(np.pi * s)     # ramp up, peak, ramp down
+        c = np.array([0.15 * np.sin(2 * np.pi * s), 0.0, -0.3], np.float32)
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        R = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float32)
+        poses.append((R, c))
+    return poses
+
+
 class SyntheticRGBD:
-    """Iterable RGB-D sequence with ground truth (duck-types dataset loaders)."""
+    """Iterable RGB-D sequence with ground truth (duck-types dataset
+    loaders).
+
+    trajectory: "orbit" (smooth arc), "loop" (1.25 outward-facing turns,
+    one revisit), "twoloop" (2.25 turns — every viewpoint revisits TWICE,
+    so a correct pipeline closes two loops), "fastrot" (aggressive yaw
+    sweep, almost no parallax).
+
+    exposure_drift g != 0 applies a slow photometric gain sweep
+    gain = 1 + g*sin(2*pi*s) plus a bias ramp — the auto-exposure drift of
+    real cameras; ORB matching must survive it (BRIEF compares relative
+    intensities, but FAST thresholds and histogram shape shift)."""
 
     def __init__(self, cfg: SlamConfig, n_frames: int = 60, seed: int = 0,
                  radius: float = 1.0, angle_range: float = 0.6,
-                 trajectory: str = "orbit"):
+                 trajectory: str = "orbit", exposure_drift: float = 0.0):
         self.cfg = cfg
         self.planes = make_room(seed)
-        self.poses = (loop_trajectory(n_frames, radius)
-                      if trajectory == "loop"
-                      else orbit_trajectory(n_frames, radius, angle_range))
+        if trajectory == "loop":
+            self.poses = loop_trajectory(n_frames, radius)
+        elif trajectory == "twoloop":
+            self.poses = loop_trajectory(n_frames, radius, turns=2.25)
+        elif trajectory == "fastrot":
+            self.poses = fast_rotation_trajectory(n_frames)
+        else:
+            self.poses = orbit_trajectory(n_frames, radius, angle_range)
+        self.exposure_drift = exposure_drift
         self.timestamps = np.arange(n_frames, dtype=np.float64) / 30.0
 
     def __len__(self):
@@ -165,6 +200,11 @@ class SyntheticRGBD:
     def __getitem__(self, i):
         R_wc, c_w = self.poses[i]
         gray, depth = render(self.planes, R_wc, c_w, self.cfg.camera)
+        if self.exposure_drift:
+            s = i / max(len(self.poses) - 1, 1)
+            gain = 1.0 + self.exposure_drift * np.sin(2 * np.pi * s)
+            bias = 12.0 * self.exposure_drift * np.sin(np.pi * s)
+            gray = np.round(np.clip(gain * gray + bias, 0, 255))
         return gray, depth
 
     def gt_pose_wc(self, i):

@@ -37,25 +37,34 @@ def pad_problem(prob: ba.BAProblem, n_shards: int) -> ba.BAProblem:
 
 def distributed_gba_chunk(mesh, st: ba.GBAState, cfg: SlamConfig,
                           n_iters: int, cg_iters: int = 100) -> ba.GBAState:
-    """One background-GBA chunk with the edge set sharded over the mesh:
-    the pipeline-integrated distributed path (LoopCloser(mesh=...) routes
-    its chunks here). Same Schur-LM sequence as the single-device chunk —
-    every edge reduction psums over ICI — so results ε-match.
+    """One background-GBA chunk with DEVICE-LOCAL map state: the point pool
+    (``pos``/``mp_free``) and the edge set are sharded over the ``mp`` mesh
+    axis; only the small camera system (6K floats) is replicated. The
+    pipeline-integrated distributed path (LoopCloser(mesh=...) routes its
+    chunks here). Per-edge point gathers ride an all_gather of the (M, 3)
+    position table over ICI and point-side reductions come home via
+    psum_scatter, so both HBM footprint and edge FLOPs scale with the mesh
+    (SURVEY.md §2.D; the same Schur-LM sequence as the single-device chunk,
+    results ε-match up to float addition order).
 
     The state's problem must already be padded to a multiple of the shard
-    count (pad_problem at gba_start time)."""
+    count (pad_problem at gba_start time); the point pool capacity
+    (cfg.map.max_mps) must divide evenly by the shard count."""
     axis = cfg.mesh.mp_axis
+    n_shards = mesh.shape[axis]
     rep = P()
     edge = P(axis)
+    pt = P(axis)          # point pool rows: device-local blocks
     spec = ba.GBAState(
-        q=rep, t=rep, pos=rep, lam=rep, err=rep,
+        q=rep, t=rep, pos=pt, lam=rep, err=rep,
         prob=ba.BAProblem(cam_idx=edge, mp_idx=edge, obs=edge,
                           is_stereo=edge, inv_sigma2=edge, valid=edge),
-        cam_free=rep, mp_free=rep, n0=rep, nm0=rep)
+        cam_free=rep, mp_free=pt, n0=rep, nm0=rep)
 
     def step(s):
         return ba.gba_chunk(s, cfg, n_iters=n_iters, cg_iters=cg_iters,
-                            robust=False, axis_name=axis)
+                            robust=False, axis_name=axis,
+                            shard_points=True, n_shards=n_shards)
 
     fn = jax.shard_map(step, mesh=mesh, in_specs=(spec,), out_specs=spec,
                        check_vma=False)
@@ -90,3 +99,35 @@ def distributed_bundle_adjustment(mesh, q, t, cam_free, pos, mp_free,
     fn = jax.shard_map(step, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_vma=False)
     return fn(q, t, cam_free, pos, mp_free, prob)
+
+
+def distributed_windowed_ba(mesh, kf_q, kf_t, window_rows, kf_uv, kf_ur,
+                            kf_octave, kf_mp, kp_valid, mp_pos, mp_free,
+                            cfg: SlamConfig, phases=(5, 10)):
+    """Windowed local BA with the compact observation table ROW-SHARDED
+    over the ``kf`` mesh axis — the local-mapping collective phase
+    (SURVEY.md §2.D, §7.1 step 9): each shard evaluates its rows'
+    residuals/Jacobians and one-hot landmark matmuls; the (Wn, 6)-sized
+    camera system and the compact landmark accumulators psum over ICI; the
+    tiny dense solve is replicated. ε-matches the single-device solve.
+
+    The row count (2*window compact rows) must divide evenly by the kf-axis
+    size. Returns (kf_q, kf_t, mp_pos, edge_inlier, n_free) like
+    ba.windowed_bundle_adjustment.
+    """
+    axis = cfg.mesh.kf_axis
+    n_row_shards = mesh.shape[axis]
+    rep = P()
+    row = P(axis)
+    in_specs = (row, row, rep, row, row, row, row, row, rep, rep)
+    out_specs = (row, row, rep, row, rep)
+
+    def step(q, t, wrows, uv, ur, octv, mp, kpv, pos, mpf):
+        return ba.windowed_bundle_adjustment(
+            q, t, wrows, uv, ur, octv, mp, kpv, pos, mpf, cfg,
+            phases=phases, axis_name=axis, n_row_shards=n_row_shards)
+
+    fn = jax.shard_map(step, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    return fn(kf_q, kf_t, window_rows, kf_uv, kf_ur, kf_octave, kf_mp,
+              kp_valid, mp_pos, mp_free)

@@ -34,7 +34,7 @@ from orb_slam_2_ros_tpu.solvers import ba
 
 
 def create_new_map_points(m: map_state.MapState, cfg: SlamConfig,
-                          max_spawn_per_neigh: int = 256, covis=None):
+                          covis=None):
     """Triangulate new landmarks between the newest keyframe and its best
     covisible neighbors (``LocalMapping::CreateNewMapPoints``,
     ``LocalMapping.cc:239-500``): epipolar-gated descriptor matching of
@@ -42,13 +42,26 @@ def create_new_map_points(m: map_state.MapState, cfg: SlamConfig,
     gate stack — cheirality, parallax, reprojection chi2 in both views,
     scale-ratio consistency — as one mask.
 
+    TPU-shaped breadth: ALL ``tri_neighbors`` neighbors (the reference's
+    10, doubled to 20 for monocular, ``LocalMapping.cc:247``) are matched
+    and gated in ONE vmapped pass; a scatter-min then picks, per keypoint
+    of the new keyframe, the surviving pair from the best-covisible
+    neighbor (the reference reaches the same at-most-one-spawn-per-
+    keypoint outcome sequentially: earlier neighbors claim the keypoint
+    first). One spawn scatter pass total, instead of a full scatter storm
+    per neighbor.
+
     Returns (m, n_spawned)."""
     K_int = camera.intrinsics(cfg.camera)
-    n_neigh = cfg.map.tri_neighbors
+    R = cfg.map.tri_neighbors
+    if cfg.sensor == SENSOR_MONOCULAR:
+        R *= 2                      # nn=20 for mono (LocalMapping.cc:247)
+    R = min(R, m.K)
+    P = m.P
     k = jnp.maximum(m.n_kfs - 1, 0)
     if covis is None:
         covis = map_state.covisibility(m)
-    w_top, idx_top = jax.lax.top_k(covis[k], n_neigh)
+    w_top, idx_top = jax.lax.top_k(covis[k], R)
 
     # median scene depth of the new keyframe for the baseline gate
     # (ComputeSceneMedianDepth, KeyFrame.cc:767-817)
@@ -58,19 +71,22 @@ def create_new_map_points(m: map_state.MapState, cfg: SlamConfig,
     med_depth = jnp.median(jnp.where(has, z_k, jnp.nan))
     med_depth = jnp.nan_to_num(med_depth, nan=1.0)
 
-    total = jnp.int32(0)
     ratio_factor = 1.5 * cfg.orb.scale_factor
+    ck = se3.camera_center(m.kf_q[k], m.kf_t[k])
+    free_k = m.kf_kp_valid[k] & (m.kf_mp[k] < 0)
+    Kinv = jnp.linalg.inv(K_int)
+    P1 = tri.projection_matrix(K_int, m.kf_q[k], m.kf_t[k])
 
-    for rank in range(n_neigh):
-        n = idx_top[rank]
-        ck = se3.camera_center(m.kf_q[k], m.kf_t[k])
+    def per_neighbor(n, w):
+        """Match + triangulate + gate against ONE neighbor; returns
+        per-n-keypoint (good, k-kp index, world point, neighbor center)."""
         cn = se3.camera_center(m.kf_q[n], m.kf_t[n])
         baseline = jnp.linalg.norm(ck - cn)
         if cfg.sensor == SENSOR_MONOCULAR:
             base_ok = baseline / jnp.maximum(med_depth, 1e-6) > 0.01
         else:
             base_ok = baseline > cfg.camera.bf / cfg.camera.fx
-        neigh_ok = (w_top[rank] >= cfg.map.covis_th) & (n != k) \
+        neigh_ok = (w >= cfg.map.covis_th) & (n != k) \
             & m.kf_valid[n] & m.kf_valid[k] & base_ok
 
         # F12: x_n^T F x_k = 0 (ComputeF12, LocalMapping.cc:585-602)
@@ -79,10 +95,8 @@ def create_new_map_points(m: map_state.MapState, cfg: SlamConfig,
                         [rt[2], 0, -rt[0]],
                         [-rt[1], rt[0], 0.0]])
         E = tx @ se3.quat_to_matrix(rq)
-        Kinv = jnp.linalg.inv(K_int)
         F12 = Kinv.T @ E @ Kinv
 
-        free_k = m.kf_kp_valid[k] & (m.kf_mp[k] < 0)
         free_n = m.kf_kp_valid[n] & (m.kf_mp[n] < 0) & neigh_ok
         n_to_k, _ = matcher.search_for_triangulation(
             m.kf_desc[k], m.kf_uv[k], m.kf_ur[k], m.kf_octave[k],
@@ -94,7 +108,6 @@ def create_new_map_points(m: map_state.MapState, cfg: SlamConfig,
         i_idx = jnp.clip(n_to_k, 0)
         uv_k = m.kf_uv[k][i_idx]
         uv_n = m.kf_uv[n]
-        P1 = tri.projection_matrix(K_int, m.kf_q[k], m.kf_t[k])
         P2 = tri.projection_matrix(K_int, m.kf_q[n], m.kf_t[n])
         xw = tri.triangulate_dlt(P1, P2, uv_k, uv_n)
 
@@ -116,57 +129,84 @@ def create_new_map_points(m: map_state.MapState, cfg: SlamConfig,
                 & (e1 < 5.991 * s1 * s1) & (e2 < 5.991 * s2 * s2)
                 & (ratio < ratio_oct * ratio_factor)
                 & (ratio * ratio_factor > ratio_oct))
+        return good, i_idx, xw, cn
 
-        # ---- predicated spawn into the point pool
-        P = m.P
-        rank_j = jnp.cumsum(good.astype(jnp.int32)) - 1
-        capacity = m.M - m.n_mps
-        spawn = good & (rank_j < max_spawn_per_neigh) & (rank_j < capacity)
-        new_id = jnp.where(spawn, m.n_mps + rank_j, -1)
-        tgt = jnp.where(spawn, new_id, m.M)
+    good_r, i_r, xw_r, cn_r = jax.vmap(per_neighbor)(idx_top, w_top)
+    # good_r (R, P) on each neighbor's kp axis; i_r (R, P) k-kp targets
 
-        dir1 = (xw - ck) / jnp.maximum(d1[:, None], 1e-9)
-        dir2 = (xw - cn) / jnp.maximum(d2[:, None], 1e-9)
-        nrm = dir1 + dir2
-        nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1,
-                                                keepdims=True), 1e-9)
-        max_d = d1 * s1
-        min_d = max_d / (cfg.orb.scale_factor ** (cfg.orb.n_levels - 1))
+    # ---- winner per k-keypoint: lowest (rank, j) key — rank-major order
+    # reproduces the reference's sequential first-claim semantics
+    rr = jnp.arange(R, dtype=jnp.int32)[:, None]
+    jj = jnp.arange(P, dtype=jnp.int32)[None, :]
+    key = (rr * P + jj).ravel()
+    slot = jnp.where(good_r.ravel(), i_r.ravel(), P)
+    BIG = jnp.int32(0x7FFFFFFF)
+    win_key = jnp.full((P + 1,), BIG, jnp.int32).at[slot].min(
+        jnp.where(good_r.ravel(), key, BIG))[:P]
+    won = win_key != BIG                            # (P,) per k-kp
+    r_w = jnp.clip(win_key // P, 0, R - 1)
+    j_w = jnp.clip(win_key % P, 0, P - 1)
 
-        def pad(pool):
-            return jnp.concatenate([pool, jnp.zeros_like(pool[:1])], axis=0)
+    # ---- gather winner data onto k's keypoint axis
+    i_k = jnp.arange(P, dtype=jnp.int32)
+    xw = xw_r[r_w, j_w]                             # (P, 3)
+    cn = cn_r[r_w]                                  # (P, 3)
+    n_row = idx_top[r_w]                            # (P,) neighbor kf row
 
-        desc_new = m.kf_desc[k][i_idx]
-        m = m._replace(
-            mp_pos=pad(m.mp_pos).at[tgt].set(xw)[:m.M],
-            mp_valid=pad(m.mp_valid).at[tgt].set(spawn)[:m.M],
-            mp_desc=pad(m.mp_desc).at[tgt].set(desc_new)[:m.M],
-            mp_normal=pad(m.mp_normal).at[tgt].set(nrm)[:m.M],
-            mp_min_dist=pad(m.mp_min_dist).at[tgt].set(0.8 * min_d)[:m.M],
-            mp_max_dist=pad(m.mp_max_dist).at[tgt].set(1.2 * max_d)[:m.M],
-            mp_first_kf=pad(m.mp_first_kf).at[tgt].set(
-                jnp.full((P,), 1, jnp.int32) * k)[:m.M],
-            mp_dir_sum=pad(m.mp_dir_sum).at[tgt].set(dir1 + dir2)[:m.M],
-            mp_obs_cnt=pad(m.mp_obs_cnt).at[tgt].set(
-                jnp.full((P,), 2, jnp.int32))[:m.M],
-            mp_visible=pad(m.mp_visible).at[tgt].set(
-                jnp.ones((P,), jnp.int32))[:m.M],
-            mp_found=pad(m.mp_found).at[tgt].set(
-                jnp.ones((P,), jnp.int32))[:m.M],
-            mp_obs_tbl=pad(m.mp_obs_tbl).at[tgt].set(
-                jnp.full((P, map_state.NOBS_DESC), -1, jnp.int32)
-                .at[:, 0].set(k * P + i_idx)
-                .at[:, 1].set(n * P + jnp.arange(P, dtype=jnp.int32)))[:m.M],
-            # observations in BOTH keyframes (scatter by keypoint index)
-            kf_mp=m.kf_mp
-            .at[k, jnp.where(spawn, i_idx, P)].set(
-                jnp.where(spawn, new_id, -1), mode="drop")
-            .at[n, jnp.where(spawn, jnp.arange(P), P)].set(
-                jnp.where(spawn, new_id, -1), mode="drop"),
-            n_mps=m.n_mps + jnp.sum(spawn.astype(jnp.int32)),
-        )
-        total = total + jnp.sum(spawn.astype(jnp.int32))
-    return m, total
+    # ---- predicated spawn into the point pool
+    rank_i = jnp.cumsum(won.astype(jnp.int32)) - 1
+    capacity = m.M - m.n_mps
+    spawn = won & (rank_i < capacity)
+    new_id = jnp.where(spawn, m.n_mps + rank_i, -1)
+    tgt = jnp.where(spawn, new_id, m.M)
+
+    d1 = jnp.linalg.norm(xw - ck, axis=-1)
+    d2 = jnp.linalg.norm(xw - cn, axis=-1)
+    dir1 = (xw - ck) / jnp.maximum(d1[:, None], 1e-9)
+    dir2 = (xw - cn) / jnp.maximum(d2[:, None], 1e-9)
+    nrm = dir1 + dir2
+    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1,
+                                            keepdims=True), 1e-9)
+    s1 = cfg.orb.scale_factor ** m.kf_octave[k][i_k].astype(jnp.float32)
+    max_d = d1 * s1
+    min_d = max_d / (cfg.orb.scale_factor ** (cfg.orb.n_levels - 1))
+
+    def pad(pool):
+        return jnp.concatenate([pool, jnp.zeros_like(pool[:1])], axis=0)
+
+    desc_new = m.kf_desc[k][i_k]
+    obs_tbl_new = (jnp.full((P, map_state.NOBS_DESC), -1, jnp.int32)
+                   .at[:, 0].set(k * P + i_k)
+                   .at[:, 1].set(n_row * P + j_w))
+    m = m._replace(
+        mp_pos=pad(m.mp_pos).at[tgt].set(xw)[:m.M],
+        mp_valid=pad(m.mp_valid).at[tgt].set(spawn)[:m.M],
+        mp_desc=pad(m.mp_desc).at[tgt].set(desc_new)[:m.M],
+        mp_normal=pad(m.mp_normal).at[tgt].set(nrm)[:m.M],
+        mp_min_dist=pad(m.mp_min_dist).at[tgt].set(0.8 * min_d)[:m.M],
+        mp_max_dist=pad(m.mp_max_dist).at[tgt].set(1.2 * max_d)[:m.M],
+        mp_first_kf=pad(m.mp_first_kf).at[tgt].set(
+            jnp.full((P,), 1, jnp.int32) * k)[:m.M],
+        mp_dir_sum=pad(m.mp_dir_sum).at[tgt].set(dir1 + dir2)[:m.M],
+        mp_obs_cnt=pad(m.mp_obs_cnt).at[tgt].set(
+            jnp.full((P,), 2, jnp.int32))[:m.M],
+        mp_visible=pad(m.mp_visible).at[tgt].set(
+            jnp.ones((P,), jnp.int32))[:m.M],
+        mp_found=pad(m.mp_found).at[tgt].set(
+            jnp.ones((P,), jnp.int32))[:m.M],
+        mp_obs_tbl=pad(m.mp_obs_tbl).at[tgt].set(obs_tbl_new)[:m.M],
+        # observations in BOTH keyframes: k's row by keypoint index, the
+        # winning neighbor's by flat (row, kp) scatter
+        kf_mp=m.kf_mp
+        .at[k, jnp.where(spawn, i_k, P)].set(
+            jnp.where(spawn, new_id, -1), mode="drop")
+        .reshape(-1)
+        .at[jnp.where(spawn, n_row * P + j_w, m.K * P)].set(
+            jnp.where(spawn, new_id, -1), mode="drop")
+        .reshape(m.K, P),
+        n_mps=m.n_mps + jnp.sum(spawn.astype(jnp.int32)),
+    )
+    return m, jnp.sum(spawn.astype(jnp.int32))
 
 
 def fuse_duplicates(m: map_state.MapState, cfg: SlamConfig,
@@ -183,7 +223,7 @@ def fuse_duplicates(m: map_state.MapState, cfg: SlamConfig,
 
     Returns (m, n_fused)."""
     if n_neigh is None:
-        n_neigh = cfg.map.tri_neighbors
+        n_neigh = cfg.map.fuse_neighbors
     k = jnp.maximum(m.n_kfs - 1, 0)
     if covis is None:
         covis = map_state.covisibility(m)
@@ -319,9 +359,18 @@ class LocalMapper:
     """
 
     def __init__(self, cfg: SlamConfig, window: int = 10,
-                 triangulate_new_points: bool = True):
+                 triangulate_new_points: bool = True, mesh=None):
         self.cfg = cfg
         self.window = window
+        # mesh (optional jax.sharding.Mesh): the windowed BA's compact
+        # observation table row-shards over cfg.mesh.kf_axis and its
+        # camera/landmark reductions psum over ICI
+        # (parallel/dist_ba.distributed_windowed_ba, SURVEY.md §2.D)
+        self.mesh = mesh
+        if mesh is not None:
+            n_row = mesh.shape[cfg.mesh.kf_axis]
+            assert (2 * window) % n_row == 0, \
+                f"2*window={2*window} must divide by kf-axis size {n_row}"
 
         def _mapping_body(m: map_state.MapState, last_mp: jnp.ndarray,
                           allow_compact: jnp.ndarray, full: bool):
@@ -369,10 +418,20 @@ class LocalMapper:
             mp_free = jnp.zeros((M + 1,), bool).at[obs.ravel()].set(True)[:M]
             mp_free = mp_free & m.mp_valid
 
-            q_c, t_c, pos, edge_inl = ba.windowed_bundle_adjustment(
-                c_q, c_t, window_rows, c_uv, c_ur, c_oct, c_mp, c_kpv,
-                m.mp_pos, mp_free, cfg,
-                phases=(cfg.solver.local_ba_iters1, cfg.solver.local_ba_iters2))
+            ba_phases = (cfg.solver.local_ba_iters1,
+                         cfg.solver.local_ba_iters2)
+            if mesh is not None:
+                from orb_slam_2_ros_tpu.parallel import dist_ba
+                q_c, t_c, pos, edge_inl, n_ba_free = \
+                    dist_ba.distributed_windowed_ba(
+                        mesh, c_q, c_t, window_rows, c_uv, c_ur, c_oct,
+                        c_mp, c_kpv, m.mp_pos, mp_free, cfg,
+                        phases=ba_phases)
+            else:
+                q_c, t_c, pos, edge_inl, n_ba_free = \
+                    ba.windowed_bundle_adjustment(
+                        c_q, c_t, window_rows, c_uv, c_ur, c_oct, c_mp,
+                        c_kpv, m.mp_pos, mp_free, cfg, phases=ba_phases)
 
             # write back window poses and drop outlier observations
             scat_rows = jnp.where(row_ok, rows, K)
@@ -429,7 +488,7 @@ class LocalMapper:
 
             if full:
                 m = map_state.refresh_point_stats(m, cfg)
-            return m, jnp.sum(cull.astype(jnp.int32)), last_mp
+            return m, jnp.sum(cull.astype(jnp.int32)), last_mp, n_ba_free
 
         def _mapping_step(m: map_state.MapState, last_mp: jnp.ndarray,
                           allow_compact: jnp.ndarray,
@@ -447,12 +506,12 @@ class LocalMapper:
 
             def skip_branch(args):
                 m, last_mp, _ = args
-                return m, jnp.int32(0), last_mp
+                return m, jnp.int32(0), last_mp, jnp.int32(0)
 
-            m, n_culled, last_mp = jax.lax.cond(
+            m, n_culled, last_mp, n_ba_free = jax.lax.cond(
                 m.n_kfs > prev_n_kfs, run_branch, skip_branch,
                 (m, last_mp, allow_compact))
-            return m, n_culled, last_mp, m.n_kfs
+            return m, n_culled, last_mp, n_ba_free, m.n_kfs
 
         self._mapping_step_full = jax.jit(
             lambda m, lmp, ac, pn: _mapping_step(m, lmp, ac, pn, True))
@@ -461,6 +520,11 @@ class LocalMapper:
         # post-step keyframe count from the previous run (device scalar);
         # -1 = never ran, first step always executes
         self._prev_n_kfs = jnp.int32(-1)
+        # free-landmark count of the most recent BA step (device scalar;
+        # fetch via last_ba_free_points). A value above
+        # cfg.solver.local_ba_max_points means the compact landmark axis
+        # overflowed and the excess points were frozen for that step.
+        self._last_n_ba_free = jnp.int32(0)
 
     def run(self, m: map_state.MapState, last_mp: jnp.ndarray = None,
             allow_compact: bool = True, full: bool = True,
@@ -477,6 +541,14 @@ class LocalMapper:
             last_mp = jnp.full((m.P,), -1, jnp.int32)
         step = self._mapping_step_full if full else self._mapping_step_light
         prev = jnp.int32(-1) if force else self._prev_n_kfs
-        m, n_culled, last_mp, self._prev_n_kfs = step(
+        m, n_culled, last_mp, self._last_n_ba_free, self._prev_n_kfs = step(
             m, last_mp, jnp.asarray(allow_compact), prev)
         return m, n_culled, last_mp
+
+    @property
+    def last_ba_free_points(self) -> int:
+        """Free-landmark count of the most recent executed BA step (0 when
+        the step no-opped). Above cfg.solver.local_ba_max_points the
+        compact axis overflowed: the excess landmarks stayed frozen.
+        Host-synchronous fetch — debug/observability only."""
+        return int(jax.device_get(self._last_n_ba_free))

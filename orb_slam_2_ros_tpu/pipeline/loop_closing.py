@@ -246,6 +246,52 @@ class LoopCloser:
             fix_scale = cfg.sensor != 0     # mono estimates scale (SENSOR_MONOCULAR)
             q12, t12, s12, inl, n_inl = sim3_solver.ransac_sim3(
                 x1, x2, pair_ok, uv1, uv2, cfg, key, fix_scale=fix_scale)
+
+            # ---- SearchBySim3 mutual match growing (ORBmatcher.cc:1104-1328,
+            # called from LoopClosing.cc:334): project c's unmatched
+            # landmarks into k through the RANSAC Sim3 and k's unmatched
+            # landmarks into c through its inverse; a pair entering BOTH
+            # directions (mutual agreement) joins the correspondence set
+            # before the LM refine — on marginal loops this is the
+            # difference between 20 inliers and acceptance failure.
+            frame_k0 = _kf_as_frame(m, k)
+            frame_c0 = _kf_as_frame(m, c)
+            matched_k = jnp.zeros((P,), bool).at[
+                jnp.where(pair_ok, i_idx, P)].set(True, mode="drop")
+            # c -> k: sources are c's landmark-bearing, not-yet-matched kps
+            src_c = (m.kf_kp_valid[c] & (mp_c >= 0)
+                     & m.mp_valid[jnp.clip(mp_c, 0)] & ~pair_ok)
+            x_ck = sim3.apply(q12, t12, s12,
+                              se3.apply(m.kf_q[c], m.kf_t[c],
+                                        m.mp_pos[jnp.clip(mp_c, 0)]))
+            A, _ = matcher.search_by_projection_pose(
+                x_ck, m.kf_desc[c], m.kf_octave[c], src_c,
+                *se3.identity(), frame_k0, cfg, th=7.5,
+                check_rotation=False, exclude_kp=matched_k)
+            # k -> c: sources are k's landmark-bearing, not-yet-matched kps
+            mp_k_all = m.kf_mp[k]
+            src_k = (m.kf_kp_valid[k] & (mp_k_all >= 0)
+                     & m.mp_valid[jnp.clip(mp_k_all, 0)] & ~matched_k)
+            q21, t21, s21 = sim3.inverse(q12, t12, s12)
+            x_kc = sim3.apply(q21, t21, s21,
+                              se3.apply(m.kf_q[k], m.kf_t[k],
+                                        m.mp_pos[jnp.clip(mp_k_all, 0)]))
+            B, _ = matcher.search_by_projection_pose(
+                x_kc, m.kf_desc[k], m.kf_octave[k], src_k,
+                *se3.identity(), frame_c0, cfg, th=7.5,
+                check_rotation=False, exclude_kp=pair_ok)
+            # mutual agreement on c's keypoint axis: c-kp i grew k-kp B[i]
+            # only if k-kp B[i] picked i back (A[B[i]] == i)
+            grown = jnp.where(
+                (B >= 0) & (A[jnp.clip(B, 0)] == jnp.arange(P)), B, -1)
+            c_to_k = jnp.where(pair_ok, c_to_k, grown)
+            pair_ok = pair_ok | (grown >= 0)
+            i_idx = jnp.clip(c_to_k, 0)
+            mp_k = m.kf_mp[k][i_idx]
+            x1 = se3.apply(m.kf_q[k], m.kf_t[k], m.mp_pos[jnp.clip(mp_k, 0)])
+            x2 = se3.apply(m.kf_q[c], m.kf_t[c], m.mp_pos[jnp.clip(mp_c, 0)])
+            uv1 = m.kf_uv[k][i_idx]
+
             # Huber-LM refinement over ALL correspondences (OptimizeSim3,
             # Optimizer.cc:1177-1414 refines the full match set — the Huber
             # kernel downweights RANSAC-rejected outliers, and matches that
@@ -319,7 +365,8 @@ class LoopCloser:
             # relative Sim3 (KeyFrame::mspLoopEdges fed into each
             # essential-graph run, Optimizer.cc:1047) plus the current one
             L = MAX_LOOP_EDGES
-            past_ok = (jnp.arange(L) < st.n_loop_edges).astype(jnp.float32)
+            past_ok = (jnp.arange(L)
+                       < jnp.minimum(st.n_loop_edges, L)).astype(jnp.float32)
             ei_all = jnp.concatenate([ei_chain, ei_cov, st.loop_ei,
                                       jnp.array([0])])
             ej_all = jnp.concatenate([ej_chain, ej_cov, st.loop_ej,
@@ -355,17 +402,36 @@ class LoopCloser:
                 kf_t=jnp.where(accepted, t_se, m.kf_t),
                 mp_pos=new_pos)
 
+            # ---- Loop Fusion step 1 (LoopClosing.cc:595-615): the widened
+            # Scw correspondences REPLACE the current keyframe's conflicting
+            # observations (loop-side landmark wins) and fill its free
+            # keypoints — the direct cross-seam weld that makes the seam a
+            # reprojection constraint, so the later global BA cannot relax
+            # the correction back toward the drifted consensus
+            loop_side = group_mp & m.mp_valid
+            repl = jnp.arange(M + 1, dtype=jnp.int32)
+            cand_w = jnp.where(
+                accepted & (kp_to_mp_w >= 0)
+                & m.mp_valid[jnp.clip(kp_to_mp_w, 0)], kp_to_mp_w, -1)
+            dstk = m.kf_mp[k]
+            gain_k = (cand_w >= 0) & (dstk < 0)
+            m = m._replace(kf_mp=m.kf_mp.at[k].set(
+                jnp.where(gain_k, cand_w, dstk)))
+            confl_k = ((cand_w >= 0) & (dstk >= 0) & (cand_w != dstk)
+                       & ~loop_side[jnp.clip(dstk, 0)])
+            repl = repl.at[jnp.where(confl_k, jnp.clip(dstk, 0), M)].set(
+                jnp.where(confl_k, cand_w, M))
+
             # ---- SearchAndFuse (LoopClosing.cc:617-642, 698-755): project
             # the loop group's landmarks through the corrected poses into
-            # the current keyframe and its best covisible neighbors; where
-            # a keypoint already references a different landmark, the loop
-            # landmark replaces it (the reference keeps the loop-side point)
+            # the current keyframe and its covisible group (the reference
+            # sweeps the whole mvpCurrentConnectedKFs set); where a keypoint
+            # already references a different landmark, the loop landmark
+            # replaces it (the reference keeps the loop-side point)
             covis2 = map_state.covisibility(m)
-            _, fuse_targets = jax.lax.top_k(covis2[k], 4)
+            _, fuse_targets = jax.lax.top_k(covis2[k], 8)
             fuse_rows = jnp.concatenate([k[None], fuse_targets])
-            repl = jnp.arange(M + 1, dtype=jnp.int32)
-            loop_side = group_mp & m.mp_valid
-            for ri in range(5):
+            for ri in range(9):
                 row = fuse_rows[ri]
                 row_on = m.kf_valid[row] & accepted
                 frame_r = _kf_as_frame(m, row)
@@ -405,8 +471,12 @@ class LoopCloser:
             # LoopClosing.cc:689, :758-862).
 
             # record the accepted pair as a persistent loop edge
-            # (LoopClosing.cc:681-682 AddLoopEdge both ways)
-            slot = jnp.minimum(st.n_loop_edges, L - 1)
+            # (LoopClosing.cc:681-682 AddLoopEdge both ways). The pool is a
+            # RING over the L slots: past MAX_LOOP_EDGES accepted loops the
+            # oldest measured edge is retired — the essential graph keeps
+            # the L most recent seams instead of silently rewriting slot
+            # L-1 forever (n_loop_edges keeps the lifetime count)
+            slot = st.n_loop_edges % L
             acc_i = accepted.astype(jnp.int32)
             st = st._replace(
                 last_loop_kf=jnp.where(accepted, k, st.last_loop_kf),
@@ -423,7 +493,7 @@ class LoopCloser:
                     jnp.where(accepted, t12, st.loop_rt[slot])),
                 loop_rs=st.loop_rs.at[slot].set(
                     jnp.where(accepted, s12, st.loop_rs[slot])),
-                n_loop_edges=jnp.minimum(st.n_loop_edges + acc_i, L))
+                n_loop_edges=st.n_loop_edges + acc_i)
             return m, st, accepted, n_inl
 
         # ---- chunked, abortable global BA (RunGlobalBundleAdjustment,
@@ -621,6 +691,14 @@ class LoopCloser:
     def _consume_verdict(self, m: map_state.MapState, cand_dev, k_dev):
         cand = int(jax.device_get(cand_dev))
         if cand < 0:
+            return m, False
+        # a queued verdict's keyframes can be culled by the mapper between
+        # dispatch and consumption; check liveness on the CURRENT map before
+        # paying for the correction program (two scalar gathers vs relying
+        # on the Sim3 inlier gate to reject a stale row)
+        k_i = int(jax.device_get(k_dev))
+        valid = jax.device_get((m.kf_valid[cand], m.kf_valid[k_i]))
+        if not (bool(valid[0]) and bool(valid[1])):
             return m, False
         self._key, sub = jax.random.split(self._key)
         m2, st2, accepted, n_inl = self._close(

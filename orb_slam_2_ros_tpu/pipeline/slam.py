@@ -27,17 +27,27 @@ from orb_slam_2_ros_tpu.pipeline.tracking import (FrameRecord, Tracker,
                                                   LOST, NOT_INITIALIZED, OK)
 
 
-def default_vocabulary(cfg: SlamConfig):
+def default_vocabulary(cfg: SlamConfig, warn: bool = True):
     """Train a small deterministic vocabulary from seeded random descriptors.
 
-    The reference ships the pre-trained ORBvoc tree (``README.md:12``); with
-    zero egress the engine self-trains a compact tree that still gates
-    matching and retrieval well (random 256-bit codes cover descriptor
-    space uniformly). Production deployments should pass a vocabulary
-    trained on in-domain descriptors (place/vocabulary.train_vocabulary or
-    load_orbvoc_binary / load_npz).
+    LAST-RESORT fallback: random 256-bit codes cover descriptor space
+    uniformly, which gates matching adequately but gives retrieval-grade
+    precision far below a tree trained on real imagery. ``System`` without
+    an explicit vocabulary now self-trains from the first tracked chunk's
+    own descriptors instead of calling this; the remaining callers
+    (``merge_map`` on a vocabulary-less session file) warn loudly. The
+    reference ships the pre-trained ORBvoc tree (``README.md:12``);
+    production deployments should pass one (place/vocabulary.load_orbvoc /
+    load_npz) or train in-domain (train_vocabulary).
     """
     import numpy as np
+    if warn:
+        import warnings
+        warnings.warn(
+            "No vocabulary provided: falling back to a RANDOM-descriptor "
+            "tree. Loop-closing/relocalization retrieval will be weak; pass "
+            "a trained vocabulary (place.vocabulary.load_orbvoc/load_npz) "
+            "or let System bootstrap from tracked imagery.", stacklevel=2)
     from orb_slam_2_ros_tpu.place import vocabulary
     rng = np.random.default_rng(cfg.seed)
     train = rng.integers(0, 2 ** 32, (8192, 8), dtype=np.uint32)
@@ -54,7 +64,17 @@ class System:
         self.n_resets = 0
         self.n_merges = 0
         self.tracker = Tracker(cfg)
-        self.mapper = LocalMapper(cfg, window=ba_window) if enable_local_ba else None
+        # the mapper's windowed BA row-shards over the mesh's kf axis when
+        # the window divides evenly (parallel/dist_ba.distributed_windowed_ba)
+        map_mesh = None
+        if mesh is not None and enable_local_ba:
+            try:
+                if (2 * ba_window) % mesh.shape[cfg.mesh.kf_axis] == 0:
+                    map_mesh = mesh
+            except KeyError:
+                pass
+        self.mapper = (LocalMapper(cfg, window=ba_window, mesh=map_mesh)
+                       if enable_local_ba else None)
         self.localization_only = cfg.localization_only
         self._culled_dev = []      # device scalars; summed lazily (no fetches)
         # the LoopCloser owns the BoW index (database + node table) shared
@@ -65,18 +85,21 @@ class System:
         self.relocalizer = None
         self.vocab = vocab
         self.mesh = mesh
+        # no vocabulary given: DEFER construction of the retrieval stack and
+        # self-train a tree from the FIRST tracked chunk's own descriptors
+        # (in-domain beats the random-code fallback by a wide margin; the
+        # reference instead ships the pre-trained ORBvoc, README.md:12)
+        self._vocab_pending = False
         if enable_loop_closing or cfg.localization_only or load_map:
-            from orb_slam_2_ros_tpu.pipeline.loop_closing import LoopCloser
-            from orb_slam_2_ros_tpu.pipeline.relocalization import Relocalizer
-            if self.vocab is None:
-                self.vocab = default_vocabulary(cfg)
-            self.relocalizer = Relocalizer(cfg, self.vocab)
-            # mesh (optional jax.sharding.Mesh): the loop GBA shards its
-            # edge set over cfg.mesh.mp_axis and psums every reduction
-            # over ICI — the pipeline-integrated distributed-BA path
-            # (SURVEY.md §2.D; parallel/dist_ba.py)
-            self.loop_closer = LoopCloser(cfg, self.vocab,
-                                          background_gba=True, mesh=mesh)
+            if self.vocab is None and not load_map:
+                self._vocab_pending = True
+            else:
+                if self.vocab is None:
+                    # load_map path: the file usually carries its own vocab
+                    # (restored in load_map); this placeholder only survives
+                    # for vocabulary-less legacy files
+                    self.vocab = default_vocabulary(cfg)
+                self._build_retrieval_stack()
         import jax
         self._reloc_key = jax.random.PRNGKey(cfg.seed + 1)
         self._last_frame_inputs = None
@@ -85,6 +108,7 @@ class System:
         # rows are compacted away (Map::EraseKeyFrame, Map.cc:81-97)
         self._chunks_since_kf_check = 0
         self._kf_compact_watermark = 0.85
+        self._kf_probe = None       # in-flight n_kfs device scalar
         self.n_kf_compactions = 0
         # monocular bootstrap (MonocularInitialization, Tracking.cc:633-816)
         self.mono_init = None
@@ -96,6 +120,41 @@ class System:
         if load_map:
             self.load_map(load_map)
             self._mono_initialized = True
+
+    def _build_retrieval_stack(self):
+        """Construct the Relocalizer + LoopCloser around self.vocab. The
+        LoopCloser owns the BoW index (database + node table) shared with
+        the relocalizer; mesh (optional jax.sharding.Mesh): the loop GBA
+        shards its edge set over cfg.mesh.mp_axis and psums every reduction
+        over ICI (SURVEY.md §2.D; parallel/dist_ba.py)."""
+        from orb_slam_2_ros_tpu.pipeline.loop_closing import LoopCloser
+        from orb_slam_2_ros_tpu.pipeline.relocalization import Relocalizer
+        self.relocalizer = Relocalizer(self.cfg, self.vocab)
+        self.loop_closer = LoopCloser(self.cfg, self.vocab,
+                                      background_gba=True, mesh=self.mesh)
+
+    def _bootstrap_vocabulary(self, grays):
+        """Train the vocabulary from the first tracked chunk's descriptors
+        (up to 4 frames sampled across the batch), then build the retrieval
+        stack. One-time host event before any keyframe is BoW-ingested."""
+        import jax
+        from orb_slam_2_ros_tpu.frontend import frame as frame_mod
+        from orb_slam_2_ros_tpu.place import vocabulary
+        n = len(grays)
+        descs = []
+        for i in list(range(0, n, max(1, n // 4)))[:4]:
+            f = frame_mod.build_mono(
+                jnp.asarray(grays[i], jnp.float32), self.cfg)
+            descs.append(np.asarray(jax.device_get(f.kps.desc))[
+                np.asarray(jax.device_get(f.valid))])
+        train = np.concatenate(descs) if descs else None
+        if train is None or len(train) < 64:
+            self.vocab = default_vocabulary(self.cfg)
+        else:
+            self.vocab = vocabulary.train_vocabulary(train, self.cfg,
+                                                     seed=self.cfg.seed)
+        self._build_retrieval_stack()
+        self._vocab_pending = False
 
     # ------------------------------------------------------------- tracking
 
@@ -109,9 +168,18 @@ class System:
         wire format on the way in) or wire-format arrays straight from the
         native prefetcher (u8 gray + u16 mm depth / u8 right image,
         io/datasets.make_prefetcher) — detected by dtype."""
-        wire = np.asarray(grays).dtype == np.uint8
+        # dtype sniffing must NOT materialize device arrays on the host:
+        # np.asarray on a staged jax array is a full device->host copy of
+        # the chunk (~15 MB through the relay) on EVERY call
+        dt = getattr(grays, "dtype", None)
+        if dt is None:
+            grays = np.asarray(grays)
+            dt = grays.dtype
+        wire = dt == np.uint8
         if not wire:
             grays = np.asarray(grays, np.float32)
+        if self._vocab_pending:
+            self._bootstrap_vocabulary(grays)
         if depths is None:      # monocular: the aux channel is unused
             depths = np.zeros_like(grays)
         if timestamps is None:
@@ -182,28 +250,32 @@ class System:
                         self.tracker.carry.m)
                     if finished:
                         self.tracker.adopt_map(m3)
-            # keyframe-pool recycling: one scalar fetch every 8 chunks; when
-            # the pool passes the watermark, culled rows are compacted away
-            # so insertion never starves (Map::EraseKeyFrame, Map.cc:81-97)
+            # keyframe-pool recycling: a NON-BLOCKING probe — every 8 chunks
+            # the current n_kfs device scalar is remembered, and it is read
+            # only once it is already computed (is_ready), so the hot loop
+            # never stalls on device completion; when the pool passes the
+            # watermark, culled rows are compacted away so insertion never
+            # starves (Map::EraseKeyFrame, Map.cc:81-97)
             self._chunks_since_kf_check += 1
             if (self.mapper is not None and not self.localization_only
                     and not (self.loop_closer is not None
-                             and self.loop_closer.gba_running)
-                    and self._chunks_since_kf_check >= 8):
-                self._chunks_since_kf_check = 0
-                m = self.tracker.carry.m
-                if int(jax.device_get(m.n_kfs)) >= int(
-                        self._kf_compact_watermark * m.K):
-                    self.compact_keyframe_pool()
+                             and self.loop_closer.gba_running)):
+                if self._kf_probe is not None and self._kf_probe.is_ready():
+                    n_kfs, K = (int(jax.device_get(self._kf_probe)),
+                                self.tracker.carry.m.K)
+                    self._kf_probe = None
+                    if n_kfs >= int(self._kf_compact_watermark * K):
+                        self.compact_keyframe_pool()
+                elif (self._kf_probe is None
+                        and self._chunks_since_kf_check >= 8):
+                    self._chunks_since_kf_check = 0
+                    self._kf_probe = self.tracker.carry.m.n_kfs
         self._frame_counter += len(grays)
-        if wire:
-            last_aux = np.asarray(depths[-1], np.float32)
-            if np.asarray(depths[-1]).dtype == np.uint16:
-                last_aux *= 1e-3   # u16 millimetres -> metres
-            self._last_frame_inputs = (np.asarray(grays[-1], np.float32),
-                                       last_aux)
-        else:
-            self._last_frame_inputs = (grays[-1], depths[-1])
+        # keep REFERENCES (possibly device-resident, wire-format); the rare
+        # consumers (relocalize, render_debug_image) convert on demand via
+        # _last_frame_float — converting here forced two device->host frame
+        # copies per chunk on the hot path
+        self._last_frame_inputs = (grays[-1], depths[-1], wire)
         # localization-VO re-anchoring: tracking survives on temporal points
         # but the map is out of sight (mbVO, Tracking.cc:385-417) — keep
         # attempting relocalization to re-acquire map matches
@@ -266,8 +338,15 @@ class System:
             r.t_cr = _quat_rotate_np(q_cw, ta_i) + t_cw
             r.ref_kf = int(remap_np[a])
         self.tracker.carry = self.tracker.carry._replace(m=m2)
+        # the mapper gates on "n_kfs moved past the last post-step count";
+        # compaction shrinks n_kfs below that watermark, so re-arm it or
+        # every keyframe inserted until the count re-exceeds the stale
+        # pre-compaction value would silently skip local mapping
+        if self.mapper is not None:
+            self.mapper._prev_n_kfs = jnp.int32(-1)
         if self.loop_closer is not None:
             self.loop_closer.apply_kf_compaction(remap_np)
+        self._kf_probe = None
         self.n_kf_compactions += 1
         return n_freed
 
@@ -288,6 +367,7 @@ class System:
         if self.mono_init is not None:
             self.mono_init.ref = None
             self._mono_initialized = False
+        self._kf_probe = None
         self.n_resets += 1
 
     @property
@@ -347,6 +427,18 @@ class System:
             init_recs[-1] = self._placeholder_record(
                 timestamps[consumed - 1], OK, offset=len(init_recs) - 1)
 
+    def _last_frame_float(self):
+        """Materialize the last frame's (gray, aux) as float host arrays
+        (metres for RGB-D depth). Rare host event — the hot path stores
+        wire-format references only."""
+        g, d, wire = self._last_frame_inputs
+        g_np = np.asarray(jax.device_get(g)).astype(np.float32)
+        d_np = np.asarray(jax.device_get(d))
+        aux = d_np.astype(np.float32)
+        if wire and d_np.dtype == np.uint16:
+            aux *= 1e-3   # u16 millimetres -> metres
+        return g_np, aux
+
     def relocalize(self) -> bool:
         """Attempt relocalization with the most recent frame
         (``Tracking::Relocalization``). Returns success."""
@@ -363,7 +455,7 @@ class System:
                     int(jax.device_get(m.n_kfs)):
                 break
             lc.state, _, _ = lc._ingest_and_detect(m, lc.state)
-        gray, depth = self._last_frame_inputs
+        gray, depth = self._last_frame_float()
         if self.cfg.sensor == SENSOR_MONOCULAR:
             frame = frame_mod.build_mono(jnp.asarray(gray, jnp.float32),
                                          self.cfg)
@@ -389,6 +481,14 @@ class System:
             m2, closed = self.loop_closer.finish_pending(self.tracker.carry.m)
             if closed:
                 self.tracker.adopt_map(m2)
+            # drain any in-flight chunked GBA: trajectories read after a
+            # flush must reflect the COMPLETED refinement, exactly like the
+            # reference's GBA thread finishing and propagating before the
+            # trajectory savers run (``LoopClosing.cc:758-862``)
+            if self.loop_closer.gba_running:
+                m3 = self.loop_closer.run_gba_to_completion(
+                    self.tracker.carry.m)
+                self.tracker.adopt_map(m3)
         return self.tracker.flush()
 
     @property
@@ -566,7 +666,7 @@ class System:
             return None
         from orb_slam_2_ros_tpu.frontend import frame as frame_mod
         from orb_slam_2_ros_tpu.pipeline import frame_drawer
-        gray, depth = self._last_frame_inputs
+        gray, depth = self._last_frame_float()
         if self.cfg.sensor == SENSOR_MONOCULAR:
             frame = frame_mod.build_mono(jnp.asarray(gray, jnp.float32),
                                          self.cfg)

@@ -60,6 +60,19 @@ def main(argv=None):
                     help="write a jax.profiler (xprof) trace of the run to "
                          "this directory (SURVEY.md §5.1: the reference has "
                          "no tracing; stdout prints only)")
+    # multi-host runtime (SURVEY.md §5.8): every host runs this same
+    # command; --coordinator wires the jax.distributed rendezvous and the
+    # loop GBA / windowed BA shard over the GLOBAL mesh (ICI within a host,
+    # DCN across hosts; parallel/multihost.py)
+    ap.add_argument("--coordinator",
+                    help="host:port of the jax.distributed coordination "
+                         "service (multi-host jobs; omit on single host)")
+    ap.add_argument("--num-hosts", type=int, default=None)
+    ap.add_argument("--host-id", type=int, default=None)
+    ap.add_argument("--mesh", action="store_true",
+                    help="build a device mesh over all (local or global) "
+                         "devices and route the loop GBA + windowed BA "
+                         "through it (parallel/dist_ba.py)")
     args = ap.parse_args(argv)
 
     from orb_slam_2_ros_tpu.config import (SENSOR_MONOCULAR, SENSOR_RGBD,
@@ -145,9 +158,18 @@ def main(argv=None):
               f"descriptors from {len(descs)} frames...", flush=True)
         vocab = vocabulary.train_vocabulary(np.concatenate(descs), cfg,
                                             seed=args.seed)
+    mesh = None
+    if args.coordinator or args.mesh:
+        from orb_slam_2_ros_tpu.parallel import multihost
+        pid = multihost.initialize(args.coordinator, args.num_hosts,
+                                   args.host_id)
+        mesh = multihost.global_mesh()
+        print(f"host {pid}: mesh {dict(mesh.shape)} over "
+              f"{mesh.devices.size} devices")
     sys_ = System(cfg, enable_local_ba=not args.no_ba,
                   load_map=args.load_map,
-                  enable_loop_closing=args.loop_closing, vocab=vocab)
+                  enable_loop_closing=args.loop_closing, vocab=vocab,
+                  mesh=mesh)
 
     n = min(len(ds), args.frames) if args.dataset != "synthetic" else len(ds)
     chunk = sys_.tracker.chunk

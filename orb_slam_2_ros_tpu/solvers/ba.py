@@ -151,21 +151,52 @@ def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
 
 
 def _make_lm_step(prob: BAProblem, cfg: SlamConfig, cam_free, mp_free,
-                  cg_iters: int, axis_name: str = None):
+                  cg_iters: int, axis_name: str = None,
+                  shard_points: bool = False, n_shards: int = 1):
     """Build the Schur-LM step closure shared by ``bundle_adjustment`` and
     the chunked background GBA (``gba_chunk``). One call = one damped LM
-    iteration with the CG solve on the reduced camera system."""
+    iteration with the CG solve on the reduced camera system.
+
+    Two distribution modes (both require ``axis_name`` inside shard_map):
+    - replicated states (default): edge arrays sharded, camera AND point
+      states replicated, every edge reduction psum'd.
+    - ``shard_points=True``: the POINT state is device-local — ``pos`` and
+      ``mp_free`` are the shard's (M/n_shards)-row blocks; point-side
+      Hessian blocks, gradients and back-substitution stay on the owner
+      shard. Per-edge point gathers ride an ``all_gather`` of the (M, 3)
+      position table (~200 KB over ICI) and point-side scatters come back
+      via ``psum_scatter`` — the memory-scaling mode of SURVEY.md §2.D:
+      point pools and edges scale with the mesh, only the small camera
+      system (6K floats) is replicated."""
     C = cam_free.shape[0]
-    M = mp_free.shape[0]
+    Ml = mp_free.shape[0]      # local rows (= global M when not sharded)
+    Mg = Ml * (n_shards if shard_points else 1)
 
     def _allsum(x):
         return jax.lax.psum(x, axis_name) if axis_name else x
 
+    def _gather_pts(x_loc):
+        """Local point block -> full (Mg, d) table."""
+        if shard_points:
+            return jax.lax.all_gather(x_loc, axis_name, axis=0, tiled=True)
+        return x_loc
+
+    def _scatter_pts(vals, pi, d_shape):
+        """Per-edge point contributions -> OWNED local rows (summed across
+        shards). Non-sharded: plain (psum'd) full-table scatter."""
+        full = jnp.zeros((Mg,) + d_shape).at[pi].add(vals)
+        if shard_points:
+            return jax.lax.psum_scatter(full, axis_name,
+                                        scatter_dimension=0, tiled=True)
+        return _allsum(full)
+
     camf = cam_free.astype(jnp.float32)[:, None]            # (C, 1)
-    mpf = mp_free.astype(jnp.float32)[:, None]              # (M, 1)
+    mpf = mp_free.astype(jnp.float32)[:, None]              # (Ml, 1)
+    mpf_full = _gather_pts(mpf)                             # (Mg, 1)
 
     def lm_step(q, t, pos, edge_mask, use_kernel, lam, err):
-        e, Jc, Jp, z = _edge_terms(prob, q, t, pos, cfg)
+        pos_full = _gather_pts(pos)                         # (Mg, 3)
+        e, Jc, Jp, z = _edge_terms(prob, q, t, pos_full, cfg)
         W, _ = _weights(prob, e, z, edge_mask, cfg, use_kernel)
 
         ci, pi = prob.cam_idx, prob.mp_idx
@@ -173,14 +204,13 @@ def _make_lm_step(prob: BAProblem, cfg: SlamConfig, cam_free, mp_free,
         We = W * e
         gc = _allsum(jnp.zeros((C, 6)).at[ci].add(
             jnp.einsum("eik,ei->ek", Jc, We))) * camf
-        gp = _allsum(jnp.zeros((M, 3)).at[pi].add(
-            jnp.einsum("eik,ei->ek", Jp, We))) * mpf
+        gp = _scatter_pts(jnp.einsum("eik,ei->ek", Jp, We), pi, (3,)) * mpf
 
         # block diagonals
         Hcc_d = _allsum(jnp.zeros((C, 6, 6)).at[ci].add(
             jnp.einsum("eci,ec,ecj->eij", Jc, W, Jc)))       # (C, 6, 6)
-        Hpp = _allsum(jnp.zeros((M, 3, 3)).at[pi].add(
-            jnp.einsum("eci,ec,ecj->eij", Jp, W, Jp)))       # (M, 3, 3)
+        Hpp = _scatter_pts(jnp.einsum("eci,ec,ecj->eij", Jp, W, Jp),
+                           pi, (3, 3))                       # (Ml, 3, 3)
 
         # LM damping on the diagonals
         dampC = lam * jnp.einsum("cii->ci", Hcc_d) + 1e-8    # (C, 6)
@@ -194,11 +224,12 @@ def _make_lm_step(prob: BAProblem, cfg: SlamConfig, cam_free, mp_free,
 
         def Hpc_mv(xc):
             jx = jnp.einsum("eik,ek->ei", Jc, (xc * camf)[ci])
-            return _allsum(jnp.zeros((M, 3)).at[pi].add(
-                jnp.einsum("eik,ei->ek", Jp, W * jx)))
+            return _scatter_pts(jnp.einsum("eik,ei->ek", Jp, W * jx),
+                                pi, (3,))
 
         def Hcp_mv(xp):
-            jx = jnp.einsum("eik,ek->ei", Jp, (xp * mpf)[pi])
+            xp_full = _gather_pts(xp * mpf)
+            jx = jnp.einsum("eik,ek->ei", Jp, (xp_full * mpf_full)[pi])
             return _allsum(jnp.zeros((C, 6)).at[ci].add(
                 jnp.einsum("eik,ei->ek", Jc, W * jx))) * camf
 
@@ -266,7 +297,8 @@ def _make_lm_step(prob: BAProblem, cfg: SlamConfig, cam_free, mp_free,
         t_new = jnp.where(cam_free[:, None], t_new, t)
         pos_new = jnp.where(mp_free[:, None], pos + xp, pos)
 
-        e2, _, _, z2 = _edge_terms(prob, q_new, t_new, pos_new, cfg)
+        e2, _, _, z2 = _edge_terms(prob, q_new, t_new,
+                                   _gather_pts(pos_new), cfg)
         _, err_new = _weights(prob, e2, z2, edge_mask, cfg, use_kernel)
         err_new = _allsum(err_new)
         improved = err_new < err
@@ -367,15 +399,20 @@ def gba_init(q, t, cam_free, pos, mp_free, prob: BAProblem, n_kfs, n_mps,
 @f32_matmul
 def gba_chunk(st: GBAState, cfg: SlamConfig, n_iters: int,
               cg_iters: int = 100, robust: bool = False,
-              axis_name: str = None) -> GBAState:
+              axis_name: str = None, shard_points: bool = False,
+              n_shards: int = 1) -> GBAState:
     """Advance the in-flight GBA by ``n_iters`` LM iterations — the
     ``lax.fori_loop`` segment of SURVEY.md §2.D row 2 ("chunked LM
     iterations with host-checked abort between chunks"). The host
     interleaves these with tracking chunks and drops the state to abort
     (the ``mnFullBAIdx`` protocol, ``LoopClosing.cc:490-502``,
-    ``mbStopGBA`` ``:493-499``)."""
+    ``mbStopGBA`` ``:493-499``).
+
+    ``shard_points``: the state's ``pos``/``mp_free`` are per-shard blocks
+    (device-local point pools; see ``_make_lm_step``)."""
     lm_step, _ = _make_lm_step(st.prob, cfg, st.cam_free, st.mp_free,
-                               cg_iters, axis_name)
+                               cg_iters, axis_name,
+                               shard_points=shard_points, n_shards=n_shards)
 
     def body(_, carry):
         q, t, pos, lam, err = carry
@@ -392,7 +429,8 @@ def gba_chunk(st: GBAState, cfg: SlamConfig, n_iters: int,
 
 def windowed_bundle_adjustment(kf_q, kf_t, window_rows, kf_uv, kf_ur,
                                kf_octave, kf_mp, kp_valid, mp_pos, mp_free,
-                               cfg: SlamConfig, phases=(5, 10)):
+                               cfg: SlamConfig, phases=(5, 10),
+                               axis_name: str = None, n_row_shards: int = 1):
     """Local BA with an explicitly materialized reduced camera system.
 
     The matrix-free CG path (bundle_adjustment) evaluates ~4 edge-indexed
@@ -420,20 +458,35 @@ def windowed_bundle_adjustment(kf_q, kf_t, window_rows, kf_uv, kf_ur,
     rows that are free (-1 padding); kf_uv/kf_ur/kf_octave/kf_mp/kp_valid:
     (K, P) observation table; mp_pos (M, 3); mp_free (M,).
 
-    Returns (kf_q, kf_t, mp_pos, edge_inlier (K, P) bool).
+    With ``axis_name`` (inside a shard_map over ``n_row_shards`` row
+    blocks), the (K, P) observation table and the per-row camera poses are
+    DEVICE-LOCAL row blocks (window_rows hold GLOBAL compact-table
+    indices): camera-system terms scatter into the (Wn, 6[,6]) window
+    arrays and psum over ICI, the landmark accumulators psum once per LM
+    iteration, and the tiny dense solve is replicated — the local-mapping
+    analog of the distributed GBA (SURVEY.md §2.D row "distributed comm
+    backend").
+
+    Returns (kf_q, kf_t, mp_pos, edge_inlier (K, P) bool, n_free_total).
     """
-    K, P = kf_mp.shape
+    K, P = kf_mp.shape            # K = LOCAL row count under shard_map
     M = mp_pos.shape[0]
     Wn = window_rows.shape[0]
     sc = cfg.solver
     cam = cfg.camera
     MW = min(sc.local_ba_max_points, M)
 
+    def _rsum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
+
+    row_g = jnp.arange(K)
+    if axis_name is not None and n_row_shards > 1:
+        row_g = row_g + jax.lax.axis_index(axis_name) * K
+
     win_valid = window_rows >= 0
-    wr = jnp.clip(window_rows, 0)
     # local window index per keyframe row (-1 = fixed); functional inverse
     # of window_rows (scatter-free: padded -1 slots must not collide)
-    eq = (window_rows[None, :] == jnp.arange(K)[:, None]) & win_valid[None, :]
+    eq = (window_rows[None, :] == row_g[:, None]) & win_valid[None, :]
     loc = jnp.where(eq.any(axis=1),
                     jnp.argmax(eq, axis=1).astype(jnp.int32), -1)
 
@@ -506,7 +559,7 @@ def windowed_bundle_adjustment(kf_q, kf_t, window_rows, kf_uv, kf_ur,
             rho = chi2
         ok = edge_mask & (z > _EPS)
         w = jnp.where(ok, inv_sigma2 * w_rob, 0.0)
-        return w[..., None] * comp_w0, jnp.sum(jnp.where(ok, rho, 0.0))
+        return w[..., None] * comp_w0, _rsum(jnp.sum(jnp.where(ok, rho, 0.0)))
 
     def lm_step(q, t, cpos, edge_mask, use_kernel, lam, err):
         e, Jc, Jp, z = edge_terms(q, t, cpos)
@@ -514,12 +567,14 @@ def windowed_bundle_adjustment(kf_q, kf_t, window_rows, kf_uv, kf_ur,
         cam_on = (loc >= 0).astype(jnp.float32)[:, None, None]  # (K,1,1)
         Wc = Wt * cam_on                                     # cam-side weights
 
-        # camera side: per-row reductions, window rows gathered at the end
+        # camera side: per-row reductions scattered into the window arrays
+        # (loc is injective over window slots; psum'd when rows are sharded)
         We = Wt * e
         gc_k = jnp.einsum("kpin,kpi->kn", Jc, We * cam_on)   # (K, 6)
         Hcc_k = jnp.einsum("kpin,kpi,kpim->knm", Jc, Wc, Jc)  # (K, 6, 6)
-        gc = gc_k[wr] * win_valid[:, None]
-        Hcc = Hcc_k[wr] * win_valid[:, None, None]
+        tgt_w = jnp.where(loc >= 0, loc, Wn)
+        gc = _rsum(jnp.zeros((Wn, 6)).at[tgt_w].add(gc_k, mode="drop"))
+        Hcc = _rsum(jnp.zeros((Wn, 6, 6)).at[tgt_w].add(Hcc_k, mode="drop"))
 
         # point side: one-hot segment sums on the MXU, one camera row per
         # scan step. Edges whose landmark is fixed/invalid have
@@ -552,6 +607,8 @@ def windowed_bundle_adjustment(kf_q, kf_t, window_rows, kf_uv, kf_ur,
             row_body,
             (jnp.zeros((MW, 12)), jnp.zeros((MW, Wn, 18))),
             (cid_masked, pv, Bv, loc))
+        acc_p = _rsum(acc_p)
+        acc_t = _rsum(acc_t)
         gp = acc_p[:, :3]                                    # (MW, 3)
         Hpp = acc_p[:, 3:].reshape(MW, 3, 3)
         T = acc_t.reshape(MW, Wn, 6, 3)
@@ -595,11 +652,15 @@ def windowed_bundle_adjustment(kf_q, kf_t, window_rows, kf_uv, kf_ur,
         xp = jnp.nan_to_num(jnp.einsum("mjk,mk->mj", Hpp_inv, bp - tx),
                             nan=0.0, posinf=0.0, neginf=0.0)
 
-        # candidate update
+        # candidate update: each local row composes its own window slot's
+        # step (replicated xc), so no cross-row gather is needed — the same
+        # math as the old window-row scatter, shard-local by construction
         dq, dt = se3.exp(xc)
-        qw_new, tw_new = se3.compose(dq, dt, q[wr], t[wr])
-        q_new = q.at[wr].set(jnp.where(win_valid[:, None], qw_new, q[wr]))
-        t_new = t.at[wr].set(jnp.where(win_valid[:, None], tw_new, t[wr]))
+        l0 = jnp.clip(loc, 0)
+        qi_new, ti_new = se3.compose(dq[l0], dt[l0], q, t)
+        sel = (loc >= 0)[:, None]
+        q_new = jnp.where(sel, qi_new, q)
+        t_new = jnp.where(sel, ti_new, t)
         cpos_new = cpos + xp * cmask[:, None].astype(jnp.float32)
 
         e2, _, _, z2 = edge_terms(q_new, t_new, cpos_new)
@@ -650,4 +711,8 @@ def windowed_bundle_adjustment(kf_q, kf_t, window_rows, kf_uv, kf_ur,
     # write the optimized free landmarks back into the full pool (one
     # MW-row scatter per BA call, not per iteration)
     pos = mp_pos.at[jnp.where(cmask, free_ids, M)].set(cpos, mode="drop")
-    return q, t, pos, edge_mask
+    # the TOTAL free-landmark count is returned so callers can OBSERVE
+    # compact-axis overflow (count > MW means landmarks ranked past the cap
+    # were silently frozen this step — indistinguishable from convergence
+    # issues otherwise); n_free above is capped at MW by construction
+    return q, t, pos, edge_mask, jnp.sum(mp_free.astype(jnp.int32))

@@ -133,3 +133,32 @@ def test_kitti_calibration_from_calib_txt(tmp_path):
     assert abs(cal["fx"] - fx) < 1e-3
     assert abs(cal["bf"] - fx * base) < 1e-3
     assert cal["width"] == 1241 and cal["height"] == 376
+
+
+def test_mini_tum_checked_in_dataset_roundtrip():
+    """The checked-in miniature TUM sequence (tests/data/mini_tum, written
+    by tools/make_mini_tum.py) decodes through the real loader path —
+    native PNG decoder, associate pairing, depth factor 5000 — and matches
+    the synthetic renderer it was written from."""
+    import os
+    import numpy as np
+    from orb_slam_2_ros_tpu.config import SlamConfig, SENSOR_RGBD
+    from orb_slam_2_ros_tpu.io.datasets import TumRGBD
+    from orb_slam_2_ros_tpu.io.synthetic import SyntheticRGBD
+
+    root = os.path.join(os.path.dirname(__file__), "data", "mini_tum")
+    ds = TumRGBD(root)
+    assert len(ds) == 20
+    cfg = SlamConfig(sensor=SENSOR_RGBD)
+    ref = SyntheticRGBD(cfg, n_frames=20, seed=0, trajectory="orbit")
+    gray, depth = ds[3]
+    gray_ref, depth_ref = ref[3]
+    np.testing.assert_array_equal(
+        gray, np.clip(np.round(gray_ref), 0, 255).astype(np.float32))
+    ok = depth > 0
+    assert ok.mean() > 0.9
+    # 16-bit depth with factor 5000 quantizes to 0.2 mm
+    assert np.abs(depth[ok] - depth_ref[ok]).max() < 5e-4
+    # groundtruth.txt parses as TUM trajectory rows
+    gt = np.loadtxt(os.path.join(root, "groundtruth.txt"))
+    assert gt.shape == (20, 8)

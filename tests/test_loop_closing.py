@@ -515,3 +515,118 @@ def test_mono_loop_corrects_scale_drift():
     # scale is the hard dof and mono GBA carries a global scale gauge
     # freedom: ~85% of the 1.9 m mid-ring drift corrects (measured 0.29)
     assert float(np.max(errs)) < 0.2 * trn_b, (trn_b, float(np.max(errs)))
+
+
+def _flip_bits(d, bits):
+    d = d.copy()
+    for b in bits:
+        d[b // 32] ^= np.uint32(1) << np.uint32(b % 32)
+    return d
+
+
+def test_search_by_sim3_grows_marginal_loop():
+    """SearchBySim3 mutual match growing (``ORBmatcher.cc:1104-1328``,
+    called at ``LoopClosing.cc:334``): a marginal loop whose BoW pair set
+    refines to FEWER than 20 Sim3 inliers must still be accepted, because
+    the bidirectional Sim3-projection round regrows correspondences whose
+    descriptors drifted past TH_LOW (BoW reject) but not TH_HIGH
+    (projection accept). Without the growing round the refined inlier
+    count stays below the accept gate."""
+    from orb_slam_2_ros_tpu.frontend import matcher
+    from orb_slam_2_ros_tpu.solvers import sim3_solver
+
+    cfg = small_cfg()
+    m, gt, descs = build_looped_map(cfg)
+    k, c = N_KF - 1, 0
+    P = cfg.map.max_kps
+    kf_desc = np.asarray(m.kf_desc).copy()
+    kf_uv = np.asarray(m.kf_uv).copy()
+    kp_valid = np.asarray(m.kf_kp_valid)
+
+    # twin slots: k-keypoints whose descriptor also appears in c (the seam
+    # duplicates share the physical feature's descriptor)
+    desc_c = {tuple(kf_desc[c][i]) for i in range(P) if kp_valid[c][i]}
+    twins = [j for j in range(P)
+             if kp_valid[k][j] and tuple(kf_desc[k][j]) in desc_c]
+    assert len(twins) >= 30, len(twins)
+
+    rng = np.random.default_rng(3)
+    keep = twins[:22]          # stay BoW-matchable: >= MIN_BOW_PAIRS
+    corrupt = twins[22:]       # dist ~70: TH_LOW < d <= TH_HIGH
+    for j in corrupt:
+        bits = rng.choice(256, 70, replace=False)
+        kf_desc[k][j] = _flip_bits(kf_desc[k][j], bits)
+    # 6 of the kept pairs become geometric outliers (25 px off): the
+    # Sim3-LM chi2 gate (9.21 px^2) rejects them, leaving 16 < 20 inliers
+    for j in keep[:6]:
+        kf_uv[k][j] += 25.0
+    m = m._replace(kf_desc=jnp.asarray(kf_desc), kf_uv=jnp.asarray(kf_uv))
+
+    voc = vocabulary.train_vocabulary(descs, cfg, seed=0)
+    lc = LoopCloser(cfg, voc, min_kfs_between_loops=6)
+    for _ in range(4):
+        lc.state, _, _ = lc._ingest_and_detect(m, lc.state)
+
+    # ---- BoW-only baseline (no growing): refined inliers < accept gate
+    valid_k = m.kf_kp_valid[k] & (m.kf_mp[k] >= 0)
+    valid_c = m.kf_kp_valid[c] & (m.kf_mp[c] >= 0)
+    c_to_k, _ = matcher.search_by_node(
+        m.kf_desc[k], lc.state.kf_node[k], valid_k, m.kf_angle[k],
+        m.kf_desc[c], lc.state.kf_node[c], valid_c, m.kf_angle[c], cfg)
+    pair_ok = c_to_k >= 0
+    i_idx = jnp.clip(c_to_k, 0)
+    mp_k = m.kf_mp[k][i_idx]
+    mp_c = m.kf_mp[c]
+    pair_ok = pair_ok & (mp_k >= 0) & (mp_c >= 0)
+    n_bow = int(jnp.sum(pair_ok.astype(jnp.int32)))
+    assert 20 <= n_bow <= 26, n_bow
+    x1 = se3.apply(m.kf_q[k], m.kf_t[k], m.mp_pos[jnp.clip(mp_k, 0)])
+    x2 = se3.apply(m.kf_q[c], m.kf_t[c], m.mp_pos[jnp.clip(mp_c, 0)])
+    uv1 = m.kf_uv[k][i_idx]
+    uv2 = m.kf_uv[c]
+    key = jax.random.PRNGKey(0)
+    q12, t12, s12, _, _ = sim3_solver.ransac_sim3(
+        x1, x2, pair_ok, uv1, uv2, cfg, key, fix_scale=True)
+    _, _, _, _, n_inl_bow = sim3_solver.refine_sim3_lm(
+        q12, t12, s12, x1, x2, uv1, uv2, pair_ok, cfg, fix_scale=True)
+    assert int(n_inl_bow) < 20, int(n_inl_bow)
+
+    # ---- the full correction program WITH the growing round accepts
+    m2, st2, accepted, n_inl = lc._close(
+        m, lc.state, jnp.int32(c), jnp.int32(k), key)
+    assert bool(accepted), int(n_inl)
+    assert int(n_inl) >= 20
+
+
+def test_loop_edge_pool_wraps_as_ring():
+    """Past MAX_LOOP_EDGES accepted loops the edge pool is a RING: the next
+    accepted pair overwrites the OLDEST slot (n % L), not slot L-1 forever,
+    and the essential-graph weight mask counts min(n, L) live edges."""
+    from orb_slam_2_ros_tpu.pipeline.loop_closing import MAX_LOOP_EDGES
+
+    cfg = small_cfg()
+    m, gt, descs = build_looped_map(cfg)
+    voc = vocabulary.train_vocabulary(descs, cfg, seed=0)
+    lc = LoopCloser(cfg, voc, min_kfs_between_loops=6)
+    for _ in range(4):
+        lc.state, _, _ = lc._ingest_and_detect(m, lc.state)
+
+    # pretend MAX_LOOP_EDGES + 1 loops already closed: slots filled with
+    # sentinel endpoints; the lifetime counter has wrapped once past slot 0
+    L = MAX_LOOP_EDGES
+    lc.state = lc.state._replace(
+        n_loop_edges=jnp.int32(L + 1),
+        loop_ei=jnp.full((L,), 2, jnp.int32),
+        loop_ej=jnp.full((L,), 9, jnp.int32))
+    key = jax.random.PRNGKey(0)
+    m2, st2, accepted, _ = lc._close(m, lc.state, jnp.int32(0),
+                                     jnp.int32(N_KF - 1), key)
+    assert bool(accepted)
+    assert int(st2.n_loop_edges) == L + 2
+    # the new edge landed in slot (L+1) % L == 1; slot 0 kept the sentinel
+    ei = np.asarray(st2.loop_ei)
+    ej = np.asarray(st2.loop_ej)
+    assert ei[1] == 0 and ej[1] == N_KF - 1, (ei, ej)
+    assert ei[0] == 2 and ej[0] == 9
+    # and the correction still produced a finite, corrected map
+    assert np.isfinite(np.asarray(m2.kf_q)[:N_KF]).all()

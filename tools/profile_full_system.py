@@ -1,12 +1,12 @@
 """Per-stage device timing for the FULL pipeline (System.track_chunk) on the
-real chip: tracking chunk, FULL/LIGHT mapping steps, loop ingest+detect,
-background-GBA chunk. Each stage is block_until_ready-timed so the async
-dispatch queue cannot smear cost across stages.
+real chip: tracking chunk, mapping step, loop ingest+detect, background-GBA
+chunk. Each stage is block_until_ready-timed so the async dispatch queue
+cannot smear cost across stages.
 
 Renders the bench's revisit sequence once and caches it under /tmp so
 re-profiling after a code change costs seconds, not minutes.
 
-Usage: python tools/profile_full_system.py [--frames 96] [--chunks 4]
+Usage: python tools/profile_full_system.py [--frames 160]
 """
 
 import argparse
@@ -122,10 +122,20 @@ def main():
         tot += sum(xs)
         print(f"{name:<14}{len(xs):>6}{np.mean(xs_w):>10.1f}"
               f"{np.median(xs_w):>9.1f}{np.max(xs):>9.1f}{sum(xs):>10.1f}")
-    n_timed = n
-    print(f"\ntotal {tot:.0f} ms for {n_timed} frames "
-          f"(incl. compiles) -> steady-state "
-          f"{n_timed / (sum(np.median(v[1:] or v) for v in stages.values()) * len(chunks) / 1e3):.1f} fps estimate")
+    # steady-state fps: per-chunk cost = stages that co-occur every chunk
+    # (tracking + map + loop) plus the gba stages weighted by how often each
+    # actually ran (gba_idle and gba_chunk are mutually exclusive per chunk)
+    def med(name):
+        xs = stages.get(name, [])
+        return float(np.median(xs[1:] if len(xs) > 2 else xs)) if xs else 0.0
+
+    n_chunks = len(chunks)
+    gba_ms = sum(len(stages.get(k, [])) * med(k)
+                 for k in ("gba_idle", "gba_chunk")) / max(n_chunks, 1)
+    per_chunk = med("tracking") + med("map_step") + med("loop_process") + gba_ms
+    print(f"\ntotal {tot:.0f} ms for {n} frames (incl. compiles) -> "
+          f"steady-state {C / (per_chunk / 1e3):.1f} fps estimate "
+          f"({per_chunk:.0f} ms/chunk of {C})")
     recs = tr.flush()
     from orb_slam_2_ros_tpu.pipeline.tracking import OK
     print(f"OK frames: {sum(r.state == OK for r in recs)}/{len(recs)}, "
