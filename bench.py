@@ -94,7 +94,11 @@ def main():
     from orb_slam_2_ros_tpu.place import vocabulary
 
     cfg = SlamConfig(sensor=SENSOR_RGBD)
-    n_loop = 160
+    # 224 frames over 1.25 turns = 1.6 deg/frame (~48 deg/s at the 30 fps
+    # timestamp spacing) — brisk indoor motion; the r3 bench swept the same
+    # circle in 160 frames (84 deg/s, far beyond fr1/desk-class rates),
+    # which starved keyframe overlap and conditioned the GBA poorly
+    n_loop = 224
     log(f"rendering {n_loop} revisit frames...")
     ds = SyntheticRGBD(cfg, n_frames=n_loop, seed=0, trajectory="loop")
     grays = np.stack([ds[i][0] for i in range(n_loop)])
@@ -172,7 +176,7 @@ def main():
     # every viewpoint revisits twice under a ±25% photometric sweep; a
     # correct pipeline closes BOTH loops and holds tracking-grade composed
     # ATE (BASELINE.md hard-proxy suite)
-    n_hard = 192
+    n_hard = 288
     log(f"rendering {n_hard} two-loop frames with exposure drift...")
     ds_h = SyntheticRGBD(cfg, n_frames=n_hard, seed=0, trajectory="twoloop",
                          exposure_drift=0.25)

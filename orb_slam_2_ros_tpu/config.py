@@ -102,12 +102,12 @@ class SolverConfig:
     pose_iters: int = 10          # LM iterations per round (:417)
     local_ba_iters1: int = 5      # LocalBA first pass (Optimizer.cc:764)
     local_ba_iters2: int = 10     # LocalBA second pass (:813)
-    global_ba_iters: int = 20     # GBA after loop; the reference runs 10
-                                  # with exact f64 sparse-Cholesky steps
-                                  # (LoopClosing.cc:763) — the f32
-                                  # CG-Schur steps here need ~2x the outer
-                                  # iterations for the same correction
-                                  # (measured on the ring loop test)
+    global_ba_iters: int = 10     # GBA after loop — reference parity
+                                  # (LoopClosing.cc:763 runs 10); measured
+                                  # at full-system scale, the f32 CG-Schur
+                                  # chunks plateau by 10 outer iterations
+                                  # (10 vs 20 gave per-keyframe errors
+                                  # identical to 3 decimals)
     essential_iters: int = 20     # essential-graph LM iterations (:1108)
     sim3_iters: int = 5           # OptimizeSim3 first pass (Optimizer.cc:1290)
     lm_lambda_init: float = 1e-3  # g2o default; essential graph uses 1e-16 (:1075)

@@ -112,15 +112,15 @@ def distributed_windowed_ba(mesh, kf_q, kf_t, window_rows, kf_uv, kf_ur,
     tiny dense solve is replicated. ε-matches the single-device solve.
 
     The row count (2*window compact rows) must divide evenly by the kf-axis
-    size. Returns (kf_q, kf_t, mp_pos, edge_inlier, n_free) like
-    ba.windowed_bundle_adjustment.
+    size. Returns (kf_q, kf_t, mp_pos, edge_inlier, edge_loose, n_free)
+    like ba.windowed_bundle_adjustment.
     """
     axis = cfg.mesh.kf_axis
     n_row_shards = mesh.shape[axis]
     rep = P()
     row = P(axis)
     in_specs = (row, row, rep, row, row, row, row, row, rep, rep)
-    out_specs = (row, row, rep, row, rep)
+    out_specs = (row, row, rep, row, row, rep)
 
     def step(q, t, wrows, uv, ur, octv, mp, kpv, pos, mpf):
         return ba.windowed_bundle_adjustment(

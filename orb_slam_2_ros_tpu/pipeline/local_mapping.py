@@ -422,18 +422,28 @@ class LocalMapper:
                          cfg.solver.local_ba_iters2)
             if mesh is not None:
                 from orb_slam_2_ros_tpu.parallel import dist_ba
-                q_c, t_c, pos, edge_inl, n_ba_free = \
+                q_c, t_c, pos, edge_inl, edge_loose, n_ba_free = \
                     dist_ba.distributed_windowed_ba(
                         mesh, c_q, c_t, window_rows, c_uv, c_ur, c_oct,
                         c_mp, c_kpv, m.mp_pos, mp_free, cfg,
                         phases=ba_phases)
             else:
-                q_c, t_c, pos, edge_inl, n_ba_free = \
+                q_c, t_c, pos, edge_inl, edge_loose, n_ba_free = \
                     ba.windowed_bundle_adjustment(
                         c_q, c_t, window_rows, c_uv, c_ur, c_oct, c_mp,
                         c_kpv, m.mp_pos, mp_free, cfg, phases=ba_phases)
 
-            # write back window poses and drop outlier observations
+            # write back window poses and drop outlier observations at the
+            # standard chi2 gate for every participating row
+            # (Optimizer.cc:781-860). Deliberately strict: retention
+            # variants were measured end-to-end and every one of them made
+            # things WORSE — keeping fixed-row borderline edges (whether
+            # unpruned, loose-gated, or entry-down-weighted in the BA
+            # cost) preserved ~4x more observations on old keyframes but
+            # doubled odometric drift AND broke loop acceptance (the kept
+            # stale associations feed bad 3D pairs into the Sim3 ladder).
+            # The two-phase OptimizeSim3 works from the leaner association
+            # set (solvers/sim3_solver.py).
             scat_rows = jnp.where(row_ok, rows, K)
             kf_q = m.kf_q.at[scat_rows].set(q_c, mode="drop")
             kf_t = m.kf_t.at[scat_rows].set(t_c, mode="drop")
@@ -452,14 +462,17 @@ class LocalMapper:
             cnt = map_state.observation_count(m)
             age = n - m.mp_first_kf     # in keyframes
             # found-ratio clause (GetFoundRatio() < 0.25f,
-            # LocalMapping.cc:221): the reference applies it only while a
-            # point sits in the recently-added list; here it applies to any
-            # point with enough tracking evidence (>= 8 frustum sightings),
-            # which additionally prunes old points that project into many
-            # frames but rarely match (documented strengthening)
+            # LocalMapping.cc:221): the reference applies it ONLY while the
+            # point sits in the recently-added list (it leaves after 3
+            # keyframes, LocalMapping.cc:229-231). Applying it forever —
+            # tried in an earlier round — silently starves the observation
+            # graph: on sweeping trajectories old landmarks stay
+            # frustum-visible long after their matched window, the ratio
+    	    # decays below 0.25, and well-observed points get culled,
+            # leaving the global BA ill-conditioned (~3x fewer edges).
             ratio = (m.mp_found.astype(jnp.float32)
                      / jnp.maximum(m.mp_visible, 1).astype(jnp.float32))
-            weak = (m.mp_visible >= 8) & (ratio < 0.25)
+            weak = (age <= 3) & (m.mp_visible >= 8) & (ratio < 0.25)
             cull = m.mp_valid & (((age >= 3) & (cnt < cull_th)) | weak)
             m = m._replace(mp_valid=m.mp_valid & ~cull)
             kf_mp2 = jnp.where(

@@ -20,13 +20,18 @@ heavy correction rarely):
    reference keyframes, and a full global BA
    (``RunGlobalBundleAdjustment``, ``:758-862``).
 
-Deviations (documented): the reference's SearchBySim3 mutual match-growing
-round is not applied (the widened projection pass plays its role);
-acceptance follows the reference's ladder — >= 20 refined Sim3 inliers
-(RANSAC + Huber-LM OptimizeSim3) and >= 40 widened-projection
-correspondences (SearchByProjection with Scw). Post-acceptance duplicate
-fusion (SearchAndFuse) projects loop-side landmarks into the current
-group and replaces conflicting current-side landmarks.
+Acceptance follows the reference's full ladder: BoW pairing,
+Horn-RANSAC, SearchBySim3 mutual match growing (``ORBmatcher.cc:1104-1328``),
+two-phase Huber-LM OptimizeSim3 (>= 20 inliers), and >= 40
+widened-projection correspondences (SearchByProjection with Scw).
+Post-acceptance the widened matches REPLACE the current keyframe's
+conflicting observations (``LoopClosing.cc:595-615``) and SearchAndFuse
+projects loop-side landmarks into the corrected covisible group.
+
+Deviations (documented): the background GBA carries a divergence guard
+(see ``step_background``) that keeps the essential-graph-corrected map
+when the reprojection-only GBA breaks the measured loop constraints on a
+sparsely-connected map.
 """
 
 from __future__ import annotations
@@ -160,8 +165,17 @@ class LoopCloser:
                     jnp.where(group, st.consist_cnt[None, :], 0), axis=1)
                 cnt = jnp.where(cand, inherited + 1, 0)
                 enough = cand & (cnt >= 3)
+                # store the count on the candidate's WHOLE covisibility
+                # group, not just its own row: the reference's consistency
+                # test intersects candidate GROUPS (spCandidateGroup vs
+                # mvConsistentGroups, LoopClosing.cc:178-253), so the next
+                # keyframe's candidate — typically a few keyframes further
+                # along the revisited segment, covisible with members of
+                # the previous group but not with its leader row — must
+                # still inherit the chain
+                cnt_grp = jnp.max(jnp.where(group, cnt[:, None], 0), axis=0)
                 st = st._replace(consist_cnt=jnp.where(
-                    enable, cnt, st.consist_cnt))
+                    enable, cnt_grp, st.consist_cnt))
                 best = jnp.argmax(jnp.where(enough, scores, -1.0))
                 found = (jnp.any(enough) & (m.n_kfs > self.min_gap)
                          & (k - st.last_loop_kf > self.min_gap) & enable)
@@ -581,6 +595,7 @@ class LoopCloser:
         self._gba_iters_done = 0
         self.n_gba_aborts = 0
         self.n_gba_finished = 0
+        self.n_gba_rejected = 0
 
     # ------------------------------------------------------------- host API
 
@@ -728,22 +743,83 @@ class LoopCloser:
         """The ``gba_running`` observability flag (``ros/src/Node.cc:194``)."""
         return self.gba is not None
 
+    def _loop_edge_residual(self, m: map_state.MapState) -> float:
+        """Max translation residual of the stored (measured) loop-edge
+        Sim3s against the map's CURRENT relative poses — how well the map
+        still honors the seams it closed. Host-side, runs at GBA-finish
+        only."""
+        import numpy as np
+        st = self.state
+        L = min(int(jax.device_get(st.n_loop_edges)), MAX_LOOP_EDGES)
+        if L == 0:
+            return 0.0
+        ei = np.asarray(jax.device_get(st.loop_ei))[:L]
+        ej = np.asarray(jax.device_get(st.loop_ej))[:L]
+        rt = np.asarray(jax.device_get(st.loop_rt))[:L]
+        kf_q = jnp.asarray(jax.device_get(m.kf_q))
+        kf_t = jnp.asarray(jax.device_get(m.kf_t))
+        worst = 0.0
+        for a in range(L):
+            c, k = int(ei[a]), int(ej[a])
+            q_act, t_act = se3.relative(kf_q[k], kf_t[k], kf_q[c], kf_t[c])
+            worst = max(worst, float(jnp.linalg.norm(
+                jnp.asarray(rt[a]) - t_act)))
+        return worst
+
     def step_background(self, m: map_state.MapState):
         """Advance the in-flight GBA by one chunk; on the final chunk,
         reconcile with the live map. Returns (map, finished). The caller
         interleaves this with tracking chunks — tracking records keep
         flowing while the GBA refines (the reference's detached thread,
-        ``LoopClosing.cc:689``)."""
+        ``LoopClosing.cc:689``).
+
+        Divergence guard (documented deviation): on sparsely-connected
+        maps the kernel-free reprojection-only GBA can relax the loop
+        correction back toward the pre-closure drift consensus (the seam
+        is held by few cross-seam edges while every mid-sequence
+        observation prefers the drifted shape). The finish step therefore
+        checks the MEASURED loop-edge Sim3s against the optimized result:
+        if the seam residual grew well beyond its post-essential-graph
+        value, the GBA output is rejected and the corrected map kept
+        (``n_gba_rejected`` counts this; the reference adopts its GBA
+        unconditionally, backed by its much denser covisibility graphs)."""
         if self.gba is None:
             return m, False
         self.gba = self._gba_step(self.gba)
         self._gba_iters_done += GBA_CHUNK_ITERS
         if self._gba_iters_done >= self.cfg.solver.global_ba_iters:
-            m = self._gba_finish(m, self.gba)
+            r_before = self._loop_edge_residual(m)
+            m2 = self._gba_finish(m, self.gba)
             self.gba = None
             self.n_gba_finished += 1
-            return m, True
+            r_after = self._loop_edge_residual(m2)
+            # permissive floor: only a CATASTROPHIC seam break (>15 cm or
+            # >2.5x the post-correction residual) rejects — a legitimate
+            # GBA repositions the seam while improving it, and the guard
+            # must decide identically on the single-device and sharded
+            # paths (their float-order differences are far below this)
+            if r_after > max(2.5 * r_before + 1e-3, 0.15):
+                self.n_gba_rejected += 1
+                return m, True
+            return m2, True
         return m, False
+
+    def _chain_deformation(self, m_pre, m_post) -> float:
+        """Max fractional change of consecutive-keyframe baselines between
+        two maps (host-side, runs at GBA-finish only)."""
+        import numpy as np
+        nk = int(jax.device_get(m_pre.n_kfs))
+        if nk < 3:
+            return 0.0
+        q_a = jnp.asarray(jax.device_get(m_pre.kf_q))[:nk]
+        t_a = jnp.asarray(jax.device_get(m_pre.kf_t))[:nk]
+        q_b = jnp.asarray(jax.device_get(m_post.kf_q))[:nk]
+        t_b = jnp.asarray(jax.device_get(m_post.kf_t))[:nk]
+        _, rel_a = jax.vmap(se3.relative)(q_a[1:], t_a[1:], q_a[:-1], t_a[:-1])
+        _, rel_b = jax.vmap(se3.relative)(q_b[1:], t_b[1:], q_b[:-1], t_b[:-1])
+        d = np.linalg.norm(np.asarray(rel_b - rel_a), axis=-1)
+        base = np.maximum(np.linalg.norm(np.asarray(rel_a), axis=-1), 0.05)
+        return float(np.max(d / base))
 
     def run_gba_to_completion(self, m: map_state.MapState):
         while self.gba is not None:

@@ -492,6 +492,7 @@ def windowed_bundle_adjustment(kf_q, kf_t, window_rows, kf_uv, kf_ur,
 
     mp_idx = jnp.clip(kf_mp, 0)
     edge_valid0 = kp_valid & (kf_mp >= 0)
+    row_free = (loc >= 0)[:, None]                              # (K, 1)
     obs = jnp.concatenate([kf_uv, kf_ur[..., None]], axis=-1)   # (K, P, 3)
     is_stereo = kf_ur > 0
     inv_sigma2 = cfg.orb.scale_factor ** (-2.0 * kf_octave.astype(jnp.float32))
@@ -500,10 +501,18 @@ def windowed_bundle_adjustment(kf_q, kf_t, window_rows, kf_uv, kf_ur,
     comp_w0 = jnp.stack([jnp.ones_like(kf_ur), jnp.ones_like(kf_ur),
                          is_stereo.astype(jnp.float32)], -1)     # (K, P, 3)
 
-    # ---- compact free-landmark table: free pool row -> [0, MW) slot
-    rank = jnp.cumsum(mp_free.astype(jnp.int32)) - 1
-    in_compact = mp_free & (rank < MW)
-    cid_of_mp = jnp.where(in_compact, rank, MW)                 # (M,)
+    # ---- compact free-landmark table: free pool row -> [0, MW) slot.
+    # When the free set overflows MW, keep the NEWEST pool rows free (the
+    # window's freshly spawned landmarks, which need refinement most) and
+    # freeze the oldest — ranking ascending by pool id would instead freeze
+    # exactly the new points whenever long-lived observations keep old
+    # landmarks in the free set.
+    rank_from_end = jnp.cumsum(
+        mp_free[::-1].astype(jnp.int32))[::-1] - 1
+    sel = mp_free & (rank_from_end < MW)
+    slot_asc = jnp.cumsum(sel.astype(jnp.int32)) - 1
+    in_compact = sel
+    cid_of_mp = jnp.where(in_compact, slot_asc, MW)             # (M,)
     free_ids = jnp.zeros((MW + 1,), jnp.int32).at[cid_of_mp].set(
         jnp.arange(M, dtype=jnp.int32), mode="drop")[:MW]       # slot -> row
     n_free = jnp.sum(in_compact.astype(jnp.int32))
@@ -558,8 +567,11 @@ def windowed_bundle_adjustment(kf_q, kf_t, window_rows, kf_uv, kf_ur,
             w_rob = jnp.ones_like(chi2)
             rho = chi2
         ok = edge_mask & (z > _EPS)
-        w = jnp.where(ok, inv_sigma2 * w_rob, 0.0)
-        return w[..., None] * comp_w0, _rsum(jnp.sum(jnp.where(ok, rho, 0.0)))
+        # edge_w: bounded-influence entry weight of fixed-row edges (set
+        # once per BA call, below); cost and gradient stay consistent
+        w = jnp.where(ok, inv_sigma2 * w_rob, 0.0) * edge_w
+        return (w[..., None] * comp_w0,
+                _rsum(jnp.sum(jnp.where(ok, rho * edge_w, 0.0))))
 
     def lm_step(q, t, cpos, edge_mask, use_kernel, lam, err):
         e, Jc, Jp, z = edge_terms(q, t, cpos)
@@ -701,6 +713,20 @@ def windowed_bundle_adjustment(kf_q, kf_t, window_rows, kf_uv, kf_ur,
         return q, t, cpos
 
     q, t, cpos = kf_q, kf_t, cpos0
+    # FIXED rows' edges enter the cost with a BOUNDED-INFLUENCE weight
+    # from their ENTRY residual: their poses are not optimized this step,
+    # so gross stale observations would otherwise drag the free window
+    # every step (measured 2x drift), while cutting them outright removes
+    # the gauge anchor whenever the entry state is far from converged
+    # (e.g. right after a loop correction). Edges within 3 sigma keep
+    # weight 1; beyond that the weight decays as 9*delta^2/chi2 — a
+    # constant per step, unlike the (unbounded-influence) Huber inside the
+    # iterations. The association itself is NOT pruned — callers keep
+    # fixed-row entries for loop closing and the global BA.
+    e0, _, _, _ = edge_terms(q, t, cpos)
+    chi2_0 = jnp.sum(e0 * e0 * comp_w0, -1) * inv_sigma2
+    edge_w = jnp.where(row_free | (chi2_0 <= 9.0 * delta2), 1.0,
+                       (9.0 * delta2) / jnp.maximum(chi2_0, 1e-9))
     edge_mask = edge_valid0
     for i, n_iters in enumerate(phases):
         use_kernel = i == 0
@@ -708,11 +734,17 @@ def windowed_bundle_adjustment(kf_q, kf_t, window_rows, kf_uv, kf_ur,
         e, _, _, z = edge_terms(q, t, cpos)
         chi2 = jnp.sum(e * e * comp_w0, -1) * inv_sigma2
         edge_mask = edge_valid0 & (chi2 <= delta2) & (z > _EPS)
+    # a LOOSE (3-sigma) variant of the final gate: callers prune edges of
+    # rows whose poses were NOT optimized this step (fixed recent rows)
+    # only when they fail this wider gate — a strict re-prune of
+    # unoptimized rows on every step compounds into observation erosion
+    edge_loose = edge_valid0 & (chi2 <= 9.0 * delta2) & (z > _EPS)
     # write the optimized free landmarks back into the full pool (one
     # MW-row scatter per BA call, not per iteration)
     pos = mp_pos.at[jnp.where(cmask, free_ids, M)].set(cpos, mode="drop")
     # the TOTAL free-landmark count is returned so callers can OBSERVE
     # compact-axis overflow (count > MW means landmarks ranked past the cap
-    # were silently frozen this step — indistinguishable from convergence
-    # issues otherwise); n_free above is capped at MW by construction
-    return q, t, pos, edge_mask, jnp.sum(mp_free.astype(jnp.int32))
+    # were silently frozen this step); the compact table keeps the NEWEST
+    # rows when it overflows
+    return q, t, pos, edge_mask, edge_loose, \
+        jnp.sum(mp_free.astype(jnp.int32))

@@ -153,8 +153,16 @@ def refine_sim3_lm(q, t, s, x1, x2, uv1, uv2, valid, cfg: SlamConfig,
     forward-mode through the left-multiplicative local update
     ``S <- exp(d) * S`` (d in sim3, scale row zeroed when fix_scale).
 
+    Two phases like the reference: 5 iterations over ALL pairs with the
+    Huber kernel, then HARD REMOVAL of pairs with chi2 > th in either
+    view (``Optimizer.cc:1306-1319`` deletes the edge pair outright — the
+    Huber influence is unbounded in sqrt, so a handful of gross outliers
+    from duplicated seam landmarks can otherwise out-pull dozens of
+    inliers), then the remaining iterations on the survivors
+    (``nMoreIterations``, ``:1321-1350``).
+
     Returns (q, t, s, inlier_mask, n_inliers) with inliers by the same
-    chi2 gate used for pruning (``:1306-1319``).
+    chi2 gate.
     """
     from orb_slam_2_ros_tpu.geometry import sim3 as sim3_mod
 
@@ -169,17 +177,15 @@ def refine_sim3_lm(q, t, s, x1, x2, uv1, uv2, valid, cfg: SlamConfig,
     def chi2_of(e):
         return jnp.sum(e[:, :2] ** 2, -1), jnp.sum(e[:, 2:] ** 2, -1)
 
-    mask = valid.astype(jnp.float32)
-
-    def robust_err(e):
+    def robust_err(e, keep):
         c1, c2 = chi2_of(e)
         rho1 = jnp.where(c1 <= huber2, c1,
                          2 * jnp.sqrt(huber2 * jnp.maximum(c1, 0)) - huber2)
         rho2 = jnp.where(c2 <= huber2, c2,
                          2 * jnp.sqrt(huber2 * jnp.maximum(c2, 0)) - huber2)
-        return jnp.sum(jnp.where(valid, rho1 + rho2, 0.0))
+        return jnp.sum(jnp.where(keep, rho1 + rho2, 0.0))
 
-    def system(q, t, s):
+    def system(q, t, s, mask):
         e = residuals(z7, q, t, s)
         J = jax.jacfwd(residuals)(z7, q, t, s)          # (N, 4, 7)
         c1, c2 = chi2_of(e)
@@ -194,32 +200,53 @@ def refine_sim3_lm(q, t, s, x1, x2, uv1, uv2, valid, cfg: SlamConfig,
         b = jnp.einsum("nia,ni->a", J, w * e)
         return H, b
 
-    def body(_, carry):
-        q, t, s, lam, err = carry
-        H, b = system(q, t, s)
-        H = H * scale_mask[:, None] * scale_mask[None, :] \
-            + jnp.diag(1.0 - scale_mask)
-        Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(7)
-        # unrolled SPD solve: TPU's LU/TriangularSolve is an approximate
-        # blocked inversion (see ops/linalg.min_eigvec)
-        d = -jnp.nan_to_num(solve_spd_unrolled(Hd, b * scale_mask))
-        d = d * scale_mask
-        q2, t2, s2 = sim3_mod.compose(*sim3_mod.exp(d), q, t, s)
-        # error-only candidate evaluation (no Jacobian)
-        err_new = robust_err(residuals(z7, q2, t2, s2))
-        improved = err_new < err
-        q = jnp.where(improved, q2, q)
-        t = jnp.where(improved, t2, t)
-        s = jnp.where(improved, s2, s)
-        lam = jnp.clip(jnp.where(improved, lam * 0.3, lam * 5.0), 1e-9, 1e6)
-        err = jnp.where(improved, err_new, err)
-        return q, t, s, lam, err
+    def lm_phase(q, t, s, keep, n):
+        mask = keep.astype(jnp.float32)
 
-    err0 = robust_err(residuals(z7, q, t, s))
-    q, t, s, _, _ = jax.lax.fori_loop(
-        0, n_iters, body, (q, t, s, jnp.float32(1e-4), err0))
+        def body(_, carry):
+            q, t, s, lam, err = carry
+            H, b = system(q, t, s, mask)
+            H = H * scale_mask[:, None] * scale_mask[None, :] \
+                + jnp.diag(1.0 - scale_mask)
+            Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(7)
+            # unrolled SPD solve: TPU's LU/TriangularSolve is an
+            # approximate blocked inversion (see ops/linalg.min_eigvec)
+            d = -jnp.nan_to_num(solve_spd_unrolled(Hd, b * scale_mask))
+            d = d * scale_mask
+            q2, t2, s2 = sim3_mod.compose(*sim3_mod.exp(d), q, t, s)
+            # error-only candidate evaluation (no Jacobian)
+            err_new = robust_err(residuals(z7, q2, t2, s2), keep)
+            improved = err_new < err
+            q = jnp.where(improved, q2, q)
+            t = jnp.where(improved, t2, t)
+            s = jnp.where(improved, s2, s)
+            lam = jnp.clip(jnp.where(improved, lam * 0.3, lam * 5.0),
+                           1e-9, 1e6)
+            err = jnp.where(improved, err_new, err)
+            return q, t, s, lam, err
+
+        err0 = robust_err(residuals(z7, q, t, s), keep)
+        q, t, s, _, _ = jax.lax.fori_loop(
+            0, n, body, (q, t, s, jnp.float32(1e-4), err0))
+        return q, t, s
+
+    # gross-outlier trim at the INITIAL transform: the Huber influence is
+    # unbounded in sqrt(chi2), so duplicated-seam pairs at 1e5 px^2 out-pull
+    # dozens of sub-gate inliers during phase 1 (measured: 30 entry inliers
+    # collapsed to 10). Pairs beyond ~30 px of error cannot be "regained"
+    # by a valid refinement anyway; borderline pairs (<= 100x the gate)
+    # stay in and can re-enter through the phases.
+    e = residuals(z7, q, t, s)
+    c1, c2 = chi2_of(e)
+    trim = valid & (c1 <= 100.0 * huber2) & (c2 <= 100.0 * huber2)
+    n1 = min(cfg.solver.sim3_iters, n_iters)
+    q, t, s = lm_phase(q, t, s, trim, n1)
+    e = residuals(z7, q, t, s)
+    c1, c2 = chi2_of(e)
+    keep = trim & (c1 <= huber2) & (c2 <= huber2)
+    q, t, s = lm_phase(q, t, s, keep, n_iters)
 
     e = residuals(z7, q, t, s)
     c1, c2 = chi2_of(e)
-    inl = valid & (c1 <= huber2) & (c2 <= huber2)
+    inl = keep & (c1 <= huber2) & (c2 <= huber2)
     return q, t, s, inl, jnp.sum(inl.astype(jnp.int32))

@@ -161,7 +161,7 @@ def test_windowed_dense_schur_matches_cg():
 
     q1, t1, pos1, inl1 = ba.bundle_adjustment(
         q0, t0, cam_free, pos0, mp_free, prob, cfg)
-    q2, t2, pos2, inl2, _ = ba.windowed_bundle_adjustment(
+    q2, t2, pos2, inl2, _, _ = ba.windowed_bundle_adjustment(
         q0, t0, window_rows, kf_uv, kf_ur, kf_oct, kf_mp, kp_valid,
         pos0, mp_free, cfg)
 
