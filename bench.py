@@ -18,10 +18,19 @@ import os
 import sys
 import time
 
-# persistent compile cache: the programs take minutes to build through the
-# remote-compile relay, seconds to load from cache
+# persistent compile cache: the programs take tens of seconds to build
+# through the remote-compile relay, <1 s to load from cache. The env vars
+# alone are NOT enough: the axon sitecustomize imports jax at interpreter
+# start, before this module's os.environ writes land, so the settings must
+# go through jax.config.update (this was why the round-4 driver bench paid
+# full recompiles and timed out, BENCH_r04 rc=124).
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np
 

@@ -250,24 +250,27 @@ class System:
                         self.tracker.carry.m)
                     if finished:
                         self.tracker.adopt_map(m3)
-            # keyframe-pool recycling: a NON-BLOCKING probe — every 8 chunks
+            # keyframe-pool recycling: a FIXED-LAG probe — every 8 chunks
             # the current n_kfs device scalar is remembered, and it is read
-            # only once it is already computed (is_ready), so the hot loop
-            # never stalls on device completion; when the pool passes the
+            # on the NEXT chunk (one full chunk of work dispatched behind
+            # it, so the fetch virtually never waits); the consumption
+            # schedule depends only on the chunk count, never on device
+            # readiness, so two runs of the same binary compact at the same
+            # frames (reproducibility; an is_ready() poll here made the
+            # trajectory relay-latency-dependent). When the pool passes the
             # watermark, culled rows are compacted away so insertion never
             # starves (Map::EraseKeyFrame, Map.cc:81-97)
             self._chunks_since_kf_check += 1
             if (self.mapper is not None and not self.localization_only
                     and not (self.loop_closer is not None
                              and self.loop_closer.gba_running)):
-                if self._kf_probe is not None and self._kf_probe.is_ready():
+                if self._kf_probe is not None:
                     n_kfs, K = (int(jax.device_get(self._kf_probe)),
                                 self.tracker.carry.m.K)
                     self._kf_probe = None
                     if n_kfs >= int(self._kf_compact_watermark * K):
                         self.compact_keyframe_pool()
-                elif (self._kf_probe is None
-                        and self._chunks_since_kf_check >= 8):
+                elif self._chunks_since_kf_check >= 8:
                     self._chunks_since_kf_check = 0
                     self._kf_probe = self.tracker.carry.m.n_kfs
         self._frame_counter += len(grays)

@@ -21,7 +21,19 @@ import time
 import numpy as np
 
 
+def _setup_compile_cache():
+    """Persistent XLA compile cache: programs build in tens of seconds
+    through the remote-compile relay, <1 s from cache. Must go through
+    jax.config.update — env vars are dead when a sitecustomize imports jax
+    at interpreter start."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def main(argv=None):
+    _setup_compile_cache()
     ap = argparse.ArgumentParser(description="TPU-native ORB-SLAM2-class engine")
     ap.add_argument("--dataset",
                     choices=["synthetic", "tum", "kitti", "euroc"],

@@ -228,7 +228,7 @@ def _make_lm_step(prob: BAProblem, cfg: SlamConfig, cam_free, mp_free,
                                 pi, (3,))
 
         def Hcp_mv(xp):
-            xp_full = _gather_pts(xp * mpf)
+            xp_full = _gather_pts(xp)
             jx = jnp.einsum("eik,ek->ei", Jp, (xp_full * mpf_full)[pi])
             return _allsum(jnp.zeros((C, 6)).at[ci].add(
                 jnp.einsum("eik,ei->ek", Jc, W * jx))) * camf
@@ -734,10 +734,14 @@ def windowed_bundle_adjustment(kf_q, kf_t, window_rows, kf_uv, kf_ur,
         e, _, _, z = edge_terms(q, t, cpos)
         chi2 = jnp.sum(e * e * comp_w0, -1) * inv_sigma2
         edge_mask = edge_valid0 & (chi2 <= delta2) & (z > _EPS)
-    # a LOOSE (3-sigma) variant of the final gate: callers prune edges of
-    # rows whose poses were NOT optimized this step (fixed recent rows)
-    # only when they fail this wider gate — a strict re-prune of
-    # unoptimized rows on every step compounds into observation erosion
+    # a LOOSE (3-sigma) variant of the final gate, returned for callers
+    # that want to prune fixed-row edges less aggressively than the strict
+    # gate. Currently UNUSED by the shipped pipeline: local_mapping prunes
+    # every participating row at the strict gate (loose retention was
+    # measured worse end-to-end — see the edge-pruning note in
+    # pipeline/local_mapping.py); kept in the return tuple as the
+    # measured-and-rejected alternative plus API stability for external
+    # callers (parallel/dist_ba passes it through).
     edge_loose = edge_valid0 & (chi2 <= 9.0 * delta2) & (z > _EPS)
     # write the optimized free landmarks back into the full pool (one
     # MW-row scatter per BA call, not per iteration)

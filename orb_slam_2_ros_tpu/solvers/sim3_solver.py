@@ -158,8 +158,10 @@ def refine_sim3_lm(q, t, s, x1, x2, uv1, uv2, valid, cfg: SlamConfig,
     view (``Optimizer.cc:1306-1319`` deletes the edge pair outright — the
     Huber influence is unbounded in sqrt, so a handful of gross outliers
     from duplicated seam landmarks can otherwise out-pull dozens of
-    inliers), then the remaining iterations on the survivors
-    (``nMoreIterations``, ``:1321-1350``).
+    inliers), then ``n_iters`` MORE iterations on the survivors — the
+    total budget is ``n1 + n_iters``, matching the reference's worst case
+    (5 iterations, outlier removal, then ``nMoreIterations = 10`` more,
+    ``Optimizer.cc:1290,1321-1350``).
 
     Returns (q, t, s, inlier_mask, n_inliers) with inliers by the same
     chi2 gate.
