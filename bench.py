@@ -39,6 +39,49 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+class _CachedSeq:
+    """Array-backed stand-in for the synthetic dataset objects: rendering
+    640x480 ray-cast frames costs ~0.3 s/frame of HOST time (numpy), ~4 min
+    for the bench's ~700 frames — none of it part of the measurement. The
+    first run renders and caches under /tmp; later runs (and the driver's
+    timed bench) load in seconds. Ground-truth poses ride along for ATE."""
+
+    def __init__(self, grays, depths, ts, gt_R, gt_c):
+        self.grays, self.depths, self.timestamps = grays, depths, ts
+        self._gt_R, self._gt_c = gt_R, gt_c
+
+    def __len__(self):
+        return len(self.grays)
+
+    def __getitem__(self, i):
+        return self.grays[i], self.depths[i]
+
+    def gt_pose_wc(self, i):
+        return self._gt_R[i], self._gt_c[i]
+
+
+def cached_seq(cfg, n, trajectory="orbit", exposure_drift=0.0, seed=0,
+               stereo=False):
+    key = (f"slam_bench_{'st' if stereo else 'rgbd'}_{trajectory}_{n}_"
+           f"{seed}_{int(exposure_drift * 100)}")
+    path = f"/tmp/{key}.npz"
+    if os.path.exists(path):
+        d = np.load(path)
+        return _CachedSeq(d["grays"], d["depths"], d["ts"], d["R"], d["c"])
+    from orb_slam_2_ros_tpu.io.synthetic import SyntheticRGBD, SyntheticStereo
+    cls = SyntheticStereo if stereo else SyntheticRGBD
+    kw = {} if exposure_drift == 0.0 else {"exposure_drift": exposure_drift}
+    ds = cls(cfg, n_frames=n, seed=seed, trajectory=trajectory, **kw)
+    grays = np.stack([ds[i][0] for i in range(n)])
+    depths = np.stack([ds[i][1] for i in range(n)])
+    gt = [ds.gt_pose_wc(i) for i in range(n)]
+    R = np.stack([g[0] for g in gt])
+    c = np.stack([g[1] for g in gt])
+    np.savez_compressed(path, grays=grays, depths=depths,
+                        ts=np.asarray(ds.timestamps), R=R, c=c)
+    return _CachedSeq(grays, depths, np.asarray(ds.timestamps), R, c)
+
+
 def stage_chunks(tracker, grays, depths, chunk):
     """Pre-stage a sequence on device in wire format, chunk-sliced: the
     timed region measures the SLAM pipeline, not the harness's image
@@ -86,7 +129,6 @@ def bench_tracker_only(cfg, ds, n_frames, label):
 def main():
     from orb_slam_2_ros_tpu.config import (SlamConfig, SENSOR_MONOCULAR,
                                            SENSOR_RGBD, SENSOR_STEREO)
-    from orb_slam_2_ros_tpu.io.synthetic import SyntheticRGBD, SyntheticStereo
     from orb_slam_2_ros_tpu.io.trajectory import ate_rmse
     from orb_slam_2_ros_tpu.pipeline.tracking import OK
 
@@ -109,19 +151,25 @@ def main():
     # which starved keyframe overlap and conditioned the GBA poorly
     n_loop = 224
     log(f"rendering {n_loop} revisit frames...")
-    ds = SyntheticRGBD(cfg, n_frames=n_loop, seed=0, trajectory="loop")
-    grays = np.stack([ds[i][0] for i in range(n_loop)])
-    depths = np.stack([ds[i][1] for i in range(n_loop)])
+    ds = cached_seq(cfg, n_loop, "loop")
+    grays, depths = ds.grays, ds.depths
 
     # in-domain vocabulary trained on the scene's own descriptors
-    # (production mode; the random-code default is the zero-egress fallback)
-    descs = []
-    for i in range(0, n_loop, 24):
-        f = frame_mod.build_rgbd(jnp.asarray(grays[i], jnp.float32),
-                                 jnp.asarray(depths[i], jnp.float32), cfg)
-        descs.append(np.asarray(jax.device_get(f.kps.desc))[
-            np.asarray(jax.device_get(f.valid))])
-    voc = vocabulary.train_vocabulary(np.concatenate(descs), cfg, seed=0)
+    # (production mode; the random-code default is the zero-egress
+    # fallback). Cached: training is deterministic in (sequence, cfg, seed)
+    # and costs ~20 s of host k-medians that is not part of the measurement.
+    voc_path = f"/tmp/slam_bench_vocab_{n_loop}.npz"
+    if os.path.exists(voc_path):
+        voc = vocabulary.load_npz(voc_path)
+    else:
+        descs = []
+        for i in range(0, n_loop, 24):
+            f = frame_mod.build_rgbd(jnp.asarray(grays[i], jnp.float32),
+                                     jnp.asarray(depths[i], jnp.float32), cfg)
+            descs.append(np.asarray(jax.device_get(f.kps.desc))[
+                np.asarray(jax.device_get(f.valid))])
+        voc = vocabulary.train_vocabulary(np.concatenate(descs), cfg, seed=0)
+        vocabulary.save_npz(voc, voc_path)
 
     sys_ = System(cfg, vocab=voc)    # all defaults: BA window 10, loops on
     C = sys_.tracker.chunk
@@ -139,21 +187,13 @@ def main():
 
     # targeted warmup: compile every program the timed pass will hit
     # (tracking chunk, FULL and LIGHT mapping steps, BoW ingest/detect, the
-    # loop-correction program, the GBA start/step/finish chain) without
-    # paying a full extra pass through the sequence
+    # Sim3 check, the loop-correction program, the GBA start/step/finish
+    # chain) without paying a full extra pass through the sequence
     log("warmup: compiling tracking + mapping + loop + GBA programs...")
     for i in range(2):
         sys_.track_chunk(*chunks[i], list(ts[i * C:(i + 1) * C]),
                          defer_fetch=True)
-    lc = sys_.loop_closer
-    m_w = sys_.tracker.carry.m
-    _ = lc._close(m_w, lc.state, jnp.int32(0),
-                  jnp.maximum(m_w.n_kfs - 1, 0),
-                  jax.random.PRNGKey(0))      # compile; result discarded
-    st_w = lc._gba_start(m_w)
-    st_w = lc._gba_step(st_w)
-    m_d = lc._gba_finish(m_w, st_w)
-    jax.block_until_ready(m_d.kf_q)
+    sys_.loop_closer.precompile(sys_.tracker.carry.m)
     sys_.reset()
     sys_.tracker.flush()           # drain warmup device outs
     sys_.tracker.records.clear()   # warmup records are not part of the run
@@ -187,10 +227,8 @@ def main():
     # ATE (BASELINE.md hard-proxy suite)
     n_hard = 288
     log(f"rendering {n_hard} two-loop frames with exposure drift...")
-    ds_h = SyntheticRGBD(cfg, n_frames=n_hard, seed=0, trajectory="twoloop",
-                         exposure_drift=0.25)
-    grays_h = np.stack([ds_h[i][0] for i in range(n_hard)])
-    depths_h = np.stack([ds_h[i][1] for i in range(n_hard)])
+    ds_h = cached_seq(cfg, n_hard, "twoloop", exposure_drift=0.25)
+    grays_h, depths_h = ds_h.grays, ds_h.depths
     sys_h = System(cfg, vocab=voc)
     chunks_h = stage_chunks(sys_h.tracker, grays_h, depths_h, C)
     t0 = time.perf_counter()
@@ -215,7 +253,7 @@ def main():
     # ---------------- tracking-only: RGB-D / stereo / mono -----------------
     n_tr = 96
     log(f"rendering {n_tr} orbit frames (RGB-D tracking-only)...")
-    ds_r = SyntheticRGBD(cfg, n_frames=n_tr, seed=0)
+    ds_r = cached_seq(cfg, n_tr, "orbit")
     fps_rgbd, tr, recs_r = bench_tracker_only(cfg, ds_r, n_tr, "rgbd tracking")
     est = np.stack([r.c_w for r in tr.records])
     gt = np.stack([ds_r.gt_pose_wc(i)[1] for i in range(n_tr)])
@@ -225,14 +263,13 @@ def main():
     n_st = 64
     log(f"rendering {n_st} stereo pairs...")
     cfg_s = SlamConfig(sensor=SENSOR_STEREO)
-    ds_s = SyntheticStereo(cfg_s, n_frames=n_st, seed=0)
+    ds_s = cached_seq(cfg_s, n_st, "orbit", stereo=True)
     fps_stereo, _, _ = bench_tracker_only(cfg_s, ds_s, n_st, "stereo tracking")
     results["stereo_tracking_fps_1chip"] = round(fps_stereo, 2)
 
     # stereo SYSTEM (tracking + mapping, the TrackStereo pipeline end to end)
     sys_s = System(cfg_s, enable_loop_closing=False)
-    grays_s = np.stack([ds_s[i][0] for i in range(n_st)])
-    rights_s = np.stack([ds_s[i][1] for i in range(n_st)])
+    grays_s, rights_s = ds_s.grays, ds_s.depths
     chunks_s = stage_chunks(sys_s.tracker, grays_s, rights_s,
                             sys_s.tracker.chunk)
     Cs = sys_s.tracker.chunk
@@ -257,7 +294,7 @@ def main():
     log("monocular run (System: init + tracking + mapping)...")
     cfg_m = SlamConfig(sensor=SENSOR_MONOCULAR)
     sys_m = System(cfg_m, enable_loop_closing=False)
-    grays_m = np.stack([ds_r[i][0] for i in range(n_tr)])
+    grays_m = ds_r.grays
     sys_m.track_chunk(grays_m[:32], None, ds_r.timestamps[:32])  # init+warm
     g_w = sys_m.tracker.to_wire(grays_m[32:], np.zeros_like(grays_m[32:]))[0]
     g_dev = jax.device_put(jnp.asarray(g_w))

@@ -32,6 +32,10 @@ class MonoInitializer:
         self.cfg = cfg
         self.ref: Optional[Frame] = None
         self.ref_frame_id = -1
+        # last attempt's (current keypoint -> reference keypoint) matches,
+        # kept for the FrameDrawer's initialization match lines
+        # (``FrameDrawer.cc:92-105``); device array or None
+        self.last_matches = None
         self._key = jax.random.PRNGKey(cfg.seed + 2)
 
         @jax.jit
@@ -148,6 +152,7 @@ class MonoInitializer:
             return None
         self._key, sub = jax.random.split(self._key)
         ok, res, cur_to_ref, n_matches = self._try_init(self.ref, frame, sub)
+        self.last_matches = cur_to_ref
         if int(jax.device_get(n_matches)) < \
                 self.cfg.tracking.min_init_mono_matches:
             # too few matches: the reference resets to this frame (:661-668)

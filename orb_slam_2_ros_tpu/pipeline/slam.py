@@ -218,10 +218,40 @@ class System:
         C = self.tracker.chunk
         for w0 in range(0, len(grays), C):
             w1 = min(w0 + C, len(grays))
+            carry_before = self.tracker.carry   # device refs (zero-copy)
             with self.timers.time("tracking"):
-                recs += self.tracker.process_chunk(
+                self.tracker.process_chunk(
                     grays[w0:w1], depths[w0:w1], timestamps[w0:w1],
-                    defer_fetch=defer_fetch, prestaged=wire)
+                    defer_fetch=True, prestaged=wire)
+            # per-frame relocalization probe (Tracking.cc:341-346): one
+            # small synchronous fetch per chunk; LOST frames trigger
+            # relocalization attempts (every lost frame, like the
+            # reference's per-frame retry) + a host-level chunk replay
+            # around the first success (lost-lag <= 1 frame, see
+            # _replay_chunk)
+            if self.relocalizer is not None:
+                states = self.tracker.last_chunk_states()
+                if states is not None and (states == LOST).any():
+                    ok = False
+                    with self.timers.time("relocalization"):
+                        for f in np.flatnonzero(states == LOST):
+                            gray, depth = self._to_float_frame(
+                                grays[w0 + f], depths[w0 + f], wire)
+                            ok, q, t, kp_mp, frame = self._attempt_reloc(
+                                gray, depth)
+                            if ok:
+                                self._replay_chunk(
+                                    carry_before, grays[w0:w1],
+                                    depths[w0:w1],
+                                    list(timestamps[w0:w1]), int(f), wire,
+                                    q, t, kp_mp, frame)
+                                break
+                    # auto-reset: lost with a barely-started map
+                    # (Tracking.cc:508-516, min_num_kf_in_map)
+                    if not ok and not self.localization_only and \
+                            self.tracker.n_kfs <= \
+                            self.cfg.tracking.min_num_kf_in_map:
+                        self.reset()
             # mapping: one step per chunk, gated ON DEVICE — the program
             # no-ops via lax.cond unless the chunk inserted a keyframe
             # (the reference's LocalMapping thread idles while its queue is
@@ -279,23 +309,16 @@ class System:
         # _last_frame_float — converting here forced two device->host frame
         # copies per chunk on the hot path
         self._last_frame_inputs = (grays[-1], depths[-1], wire)
+        if not defer_fetch:
+            recs = self.tracker.flush()
         # localization-VO re-anchoring: tracking survives on temporal points
         # but the map is out of sight (mbVO, Tracking.cc:385-417) — keep
-        # attempting relocalization to re-acquire map matches
+        # attempting relocalization to re-acquire map matches (LOST frames
+        # are handled per chunk by the in-loop probe above)
         if (recs and self.localization_only and self.relocalizer is not None
                 and recs[-1].state == OK and recs[-1].n_map_inliers < 10):
             with self.timers.time("relocalization"):
                 self.relocalize()
-        # relocalization: when the chunk ended LOST, re-acquire against the
-        # BoW index (Tracking.cc:341-346 -> Relocalization)
-        if recs and recs[-1].state == LOST and self.relocalizer is not None:
-            with self.timers.time("relocalization"):
-                ok = self.relocalize()
-            # auto-reset: lost with a barely-started map
-            # (Tracking.cc:508-516, threshold = min_num_kf_in_map)
-            if not ok and not self.localization_only and \
-                    self.tracker.n_kfs <= self.cfg.tracking.min_num_kf_in_map:
-                self.reset()
         return init_recs + recs
 
     def compact_keyframe_pool(self) -> int:
@@ -430,11 +453,11 @@ class System:
             init_recs[-1] = self._placeholder_record(
                 timestamps[consumed - 1], OK, offset=len(init_recs) - 1)
 
-    def _last_frame_float(self):
-        """Materialize the last frame's (gray, aux) as float host arrays
+    @staticmethod
+    def _to_float_frame(g, d, wire):
+        """Materialize one frame's (gray, aux) as float host arrays
         (metres for RGB-D depth). Rare host event — the hot path stores
         wire-format references only."""
-        g, d, wire = self._last_frame_inputs
         g_np = np.asarray(jax.device_get(g)).astype(np.float32)
         d_np = np.asarray(jax.device_get(d))
         aux = d_np.astype(np.float32)
@@ -442,23 +465,25 @@ class System:
             aux *= 1e-3   # u16 millimetres -> metres
         return g_np, aux
 
-    def relocalize(self) -> bool:
-        """Attempt relocalization with the most recent frame
-        (``Tracking::Relocalization``). Returns success."""
-        if self._last_frame_inputs is None or self.loop_closer is None:
-            return False
-        import jax
-        import jax.numpy as jnp
+    def _last_frame_float(self):
+        g, d, wire = self._last_frame_inputs
+        return self._to_float_frame(g, d, wire)
+
+    def _attempt_reloc(self, gray, depth):
+        """Run the relocalization ladder on one float frame against the
+        current map + BoW index (``Tracking::Relocalization``,
+        ``Tracking.cc:1535-1724``). Returns (ok, q, t, kp_mp, frame) —
+        the caller decides when to ``force_pose`` (the chunk replay applies
+        it mid-chunk)."""
         from orb_slam_2_ros_tpu.frontend import frame as frame_mod
-        # the index may lag the map: ingest any missing keyframes first
         m = self.tracker.carry.m
         lc = self.loop_closer
+        # the index may lag the map: ingest any missing keyframes first
         for _ in range(m.K):
             if int(jax.device_get(lc.state.n_ingested)) >= \
                     int(jax.device_get(m.n_kfs)):
                 break
             lc.state, _, _ = lc._ingest_and_detect(m, lc.state)
-        gray, depth = self._last_frame_float()
         if self.cfg.sensor == SENSOR_MONOCULAR:
             frame = frame_mod.build_mono(jnp.asarray(gray, jnp.float32),
                                          self.cfg)
@@ -469,11 +494,39 @@ class System:
         self._reloc_key, sub = jax.random.split(self._reloc_key)
         ok, q, t, kp_mp, n_inl, c = self.relocalizer.relocalize(
             m, lc.state.db, lc.state.kf_node, frame, sub)
-        if bool(jax.device_get(ok)):
+        return bool(jax.device_get(ok)), q, t, kp_mp, frame
+
+    def relocalize(self) -> bool:
+        """Attempt relocalization with the most recent frame
+        (``Tracking::Relocalization``). Returns success."""
+        if self._last_frame_inputs is None or self.loop_closer is None:
+            return False
+        gray, depth = self._last_frame_float()
+        ok, q, t, kp_mp, frame = self._attempt_reloc(gray, depth)
+        if ok:
             self.tracker.force_pose(q, t, kp_mp, frame.kps.octave,
                                     frame.kps.angle)
-            return True
-        return False
+        return ok
+
+    def _replay_chunk(self, carry_before, grays, depths, timestamps,
+                      f: int, wire: bool, q, t, kp_mp, frame):
+        """Host-level chunk replay around a successful relocalization at
+        frame ``f`` (per-frame reloc semantics, ``Tracking.cc:341-346``):
+        restore the pre-chunk carry, re-track frames [0, f) (deterministic
+        — identical results), force the relocalized pose, then re-track
+        [f, end) from it — the relocalized frame itself re-tracks from the
+        forced pose (the reference's post-reloc TrackLocalMap pass), so
+        lost-lag is <= 1 frame instead of a whole chunk."""
+        self.tracker.pop_pending()
+        self.tracker.carry = carry_before
+        if f > 0:
+            self.tracker.process_chunk(grays[:f], depths[:f],
+                                       timestamps[:f], defer_fetch=True,
+                                       prestaged=wire)
+        self.tracker.force_pose(q, t, kp_mp, frame.kps.octave,
+                                frame.kps.angle)
+        self.tracker.process_chunk(grays[f:], depths[f:], timestamps[f:],
+                                   defer_fetch=True, prestaged=wire)
 
     def flush(self) -> List[FrameRecord]:
         """Drain deferred work (queued loop-detection verdicts) and fetch
@@ -679,6 +732,18 @@ class System:
                                          self.cfg)
         carry = self.tracker.carry
         kp_has_map = np.asarray(jax.device_get(carry.last_mp)) >= 0
+        # temporal-VO matches of the last tracked frame -> blue points
+        # (``FrameDrawer.cc:133-139``; non-empty only in localization mode)
+        kp_has_vo = np.asarray(jax.device_get(carry.last_vo))
+        # during monocular initialization: reference keypoints + current
+        # match vector -> green match lines (``FrameDrawer.cc:92-105``)
+        init_ref_xy = init_matches = None
+        if (not self._mono_initialized and self.mono_init is not None
+                and self.mono_init.ref is not None
+                and self.mono_init.last_matches is not None):
+            init_ref_xy = np.asarray(jax.device_get(self.mono_init.ref.uv))
+            init_matches = np.asarray(
+                jax.device_get(self.mono_init.last_matches))
         rec = self.records[-1] if self.records else None
         m = self.tracker.map
         return frame_drawer.draw_frame(
@@ -688,7 +753,9 @@ class System:
             n_matches=rec.n_inliers if rec else 0,
             n_kfs=int(jax.device_get(m.n_kfs)),
             n_mps=int(np.asarray(jax.device_get(m.mp_valid)).sum()),
-            localization_only=self.localization_only)
+            localization_only=self.localization_only,
+            kp_has_vo=kp_has_vo, init_ref_xy=init_ref_xy,
+            init_matches=init_matches)
 
     def map_points(self, min_observations: int = 0) -> np.ndarray:
         """(N, 3) valid map-point positions (the PointCloud2 analog,

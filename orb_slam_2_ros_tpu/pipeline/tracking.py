@@ -73,6 +73,10 @@ class TrackCarry(NamedTuple):
     vo_desc: jnp.ndarray       # (P, 8) uint32 descriptors
     vo_oct: jnp.ndarray        # (P,) int32
     vo_ok: jnp.ndarray         # (P,) bool
+    # per-keypoint "matched a temporal VO point" flag of the last frame
+    # (mvbVO, consumed by the FrameDrawer's blue points,
+    # ``FrameDrawer.cc:133-139``); inert outside localization mode
+    last_vo: jnp.ndarray       # (P,) bool
 
 
 @dataclasses.dataclass
@@ -143,6 +147,7 @@ class Tracker:
         self.records: List[FrameRecord] = []
         self._pending = []          # [(timestamps, device outs)]
         self._active_full = None    # cached on-device all-active mask
+        self._last_outs = None      # (outs, k) of the most recent chunk
         self.carry = self._fresh_carry(map_state.empty(cfg))
 
         P = cfg.orb.max_kps
@@ -278,7 +283,7 @@ class Tracker:
             n_close_tr = jnp.sum((close & (kp_mp >= 0)).astype(jnp.int32))
             n_close_free = jnp.sum((close & (kp_mp < 0)).astype(jnp.int32))
             return (q2, t2, kp_mp, n1, n2, n_map, n_close_tr, n_close_free,
-                    vis_mask)
+                    vis_mask, kp_vo >= 0)
 
         def _build_frame(gray_u8, aux_w):
             # inputs arrive in wire format (u8 gray, u16 millimetre depth or
@@ -305,7 +310,8 @@ class Tracker:
             # ---------- tracking attempt (garbage but harmless pre-init)
             q_pred, t_pred = se3.compose(carry.vel_q, carry.vel_t,
                                          carry.q, carry.t)
-            q2, t2, kp_mp, n1, n2, n_map, nct, ncf, vis_mask = _track_core(
+            (q2, t2, kp_mp, n1, n2, n_map, nct, ncf, vis_mask,
+             kp_is_vo) = _track_core(
                 m, frame, q_pred, t_pred, carry.q, carry.t,
                 carry.last_mp, carry.last_oct, carry.last_angle,
                 carry.vo_pos, carry.vo_desc, carry.vo_oct, carry.vo_ok,
@@ -388,6 +394,7 @@ class Tracker:
                                      carry.last_angle),
                 vo_pos=vo_pos_c, vo_desc=vo_desc_c, vo_oct=vo_oct_c,
                 vo_ok=vo_ok_c,
+                last_vo=jnp.where(track_ok, kp_is_vo, carry.last_vo),
                 ref_tracked=jnp.where(can_init, n_spawned,
                                       jnp.where(need_kf, n2,
                                                 carry.ref_tracked)),
@@ -448,7 +455,8 @@ class Tracker:
             vo_pos=jnp.zeros((P, 3), jnp.float32),
             vo_desc=jnp.zeros((P, 8), jnp.uint32),
             vo_oct=jnp.zeros((P,), jnp.int32),
-            vo_ok=jnp.zeros((P,), bool))
+            vo_ok=jnp.zeros((P,), bool),
+            last_vo=jnp.zeros((P,), bool))
 
     # ------------------------------------------------------------- host API
 
@@ -508,6 +516,7 @@ class Tracker:
                 active = self._active_full
             self.carry, outs = self._track_chunk(self.carry, g, d, active)
             self._pending.append((list(timestamps[w0:w1]), outs, k))
+            self._last_outs = (outs, k)
         if defer_fetch:
             return []
         return self.flush()
@@ -516,6 +525,25 @@ class Tracker:
                 timestamp: float) -> FrameRecord:
         """Single-frame convenience wrapper (one padded chunk)."""
         return self.process_chunk(gray[None], depth[None], [timestamp])[0]
+
+    def last_chunk_states(self):
+        """Per-frame state codes of the most recent chunk (np int array) or
+        None — the System's per-chunk probe for the reference's
+        track-then-relocalize-next-frame semantics (``Tracking.cc:341-346``):
+        LOST frames trigger relocalization attempts and a host-level chunk
+        replay instead of waiting for the sequence end. One small
+        synchronous fetch (C floats)."""
+        if self._last_outs is None:
+            return None
+        outs, k = self._last_outs
+        return np.asarray(jax.device_get(outs[:, 3]))[:k].astype(int)
+
+    def pop_pending(self):
+        """Discard the most recent chunk's deferred records (the System's
+        relocalization replay re-tracks that chunk)."""
+        if self._pending:
+            self._pending.pop()
+        self._last_outs = None
 
     def flush(self) -> List[FrameRecord]:
         """Materialize all pending per-frame records (one device fetch)."""
@@ -569,7 +597,8 @@ class Tracker:
             since_reloc=jnp.int32(0),
             # drop temporal VO points: their world positions were anchored
             # to the pre-relocalization (drifted) pose
-            vo_ok=jnp.zeros_like(self.carry.vo_ok))
+            vo_ok=jnp.zeros_like(self.carry.vo_ok),
+            last_vo=jnp.zeros_like(self.carry.last_vo))
         self.state = OK
 
     # ------------------------------------------------------------ trajectory

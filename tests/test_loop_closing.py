@@ -604,11 +604,15 @@ def test_search_by_sim3_grows_marginal_loop():
         q12, t12, s12, x1, x2, uv1, uv2, pair_ok, cfg, fix_scale=True)
     assert int(n_inl_bow) < 20, int(n_inl_bow)
 
-    # ---- the full correction program WITH the growing round accepts
-    m2, st2, accepted, n_inl = lc._close(
+    # ---- the full ladder WITH the growing round accepts (split API:
+    # the cheap check gates the expensive correction program)
+    accepted, n_inl, q12g, t12g, s12g, kp_w = lc._sim3_check(
         m, lc.state, jnp.int32(c), jnp.int32(k), key)
     assert bool(accepted), int(n_inl)
     assert int(n_inl) >= 20
+    m2, st2 = lc._apply_correction(m, lc.state, jnp.int32(c), jnp.int32(k),
+                                   q12g, t12g, s12g, kp_w)
+    assert np.isfinite(np.asarray(m2.kf_q)).all()
 
 
 def test_loop_edge_pool_wraps_as_ring():
@@ -632,9 +636,12 @@ def test_loop_edge_pool_wraps_as_ring():
         loop_ei=jnp.full((L,), 2, jnp.int32),
         loop_ej=jnp.full((L,), 9, jnp.int32))
     key = jax.random.PRNGKey(0)
-    m2, st2, accepted, _ = lc._close(m, lc.state, jnp.int32(0),
-                                     jnp.int32(N_KF - 1), key)
+    accepted, _, q12r, t12r, s12r, kp_wr = lc._sim3_check(
+        m, lc.state, jnp.int32(0), jnp.int32(N_KF - 1), key)
     assert bool(accepted)
+    m2, st2 = lc._apply_correction(m, lc.state, jnp.int32(0),
+                                   jnp.int32(N_KF - 1), q12r, t12r, s12r,
+                                   kp_wr)
     assert int(st2.n_loop_edges) == L + 2
     # the new edge landed in slot (L+1) % L == 1; slot 0 kept the sentinel
     ei = np.asarray(st2.loop_ei)

@@ -286,3 +286,31 @@ def test_composed_trajectory_follows_keyframe_corrections(run_result):
         # camera centers move with the world: c' = D(c) = Rd c + td
         np.testing.assert_allclose(c1, Rd @ c0 + td, atol=1e-3)
     sys_.tracker.adopt_map(m)  # restore for other tests
+
+
+def test_frame_drawer_vo_and_init_lines():
+    """FrameDrawer parity paths (FrameDrawer.cc:92-140): VO matches render
+    BLUE, initialization renders green match LINES instead of squares."""
+    from orb_slam_2_ros_tpu.pipeline import frame_drawer
+    H, W, P = 120, 160, 8
+    gray = np.full((H, W), 40.0, np.float32)
+    xy = np.stack([np.linspace(20, W - 20, P),
+                   np.linspace(20, H - 20, P)], -1).astype(np.float32)
+    valid = np.ones(P, bool)
+    has_map = np.zeros(P, bool); has_map[:3] = True
+    has_vo = np.zeros(P, bool); has_vo[3:6] = True
+    img = frame_drawer.draw_frame(gray, xy, valid, has_map, state=2,
+                                  n_matches=3, kp_has_vo=has_vo)
+    green = (img[:H, :, 1] > 200) & (img[:H, :, 0] < 100) & (img[:H, :, 2] < 100)
+    blue = (img[:H, :, 0] > 200) & (img[:H, :, 1] < 100) & (img[:H, :, 2] < 100)
+    assert green.sum() > 10 and blue.sum() > 10
+
+    ref_xy = xy + np.array([30.0, 10.0], np.float32)
+    matches = np.arange(P, dtype=np.int32)
+    matches[5:] = -1
+    img2 = frame_drawer.draw_frame(gray, xy, valid, has_map, state=1,
+                                   n_matches=5, init_ref_xy=ref_xy,
+                                   init_matches=matches)
+    green2 = (img2[:H, :, 1] > 200) & (img2[:H, :, 0] < 100)
+    # lines cover far more pixels than the 5 endpoints alone
+    assert green2.sum() > 100
