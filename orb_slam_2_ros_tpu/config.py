@@ -111,6 +111,29 @@ class SolverConfig:
     essential_iters: int = 20     # essential-graph LM iterations (:1108)
     sim3_iters: int = 5           # OptimizeSim3 first pass (Optimizer.cc:1290)
     lm_lambda_init: float = 1e-3  # g2o default; essential graph uses 1e-16 (:1075)
+    gba_structure_only: bool = True   # post-loop GBA refines LANDMARKS
+                                  # with poses FIXED at the essential-graph
+                                  # result (documented deviation,
+                                  # measured: the full reprojection GBA
+                                  # wanders the chain's soft bending modes
+                                  # on our sparser maps — chi2 down, ATE
+                                  # 0.030 -> 0.214; the pose graph IS the
+                                  # pose optimizer, the GBA re-fits the
+                                  # map to it). False restores the
+                                  # reference's all-free GBA
+                                  # (Optimizer.cc:41-262).
+    gba_loop_prior_weight: float = 0.0  # optional strength of the
+                                  # measured loop-edge SE3 priors inside
+                                  # a FULL (all-cameras-free) post-loop
+                                  # GBA (solvers/ba.py _loop_prior_terms).
+                                  # Off by default: with the production
+                                  # structure-only GBA the poses are fixed
+                                  # so seams cannot reopen anyway, and in
+                                  # full mode a strong prior pins the
+                                  # measured (noisy) seam Sim3 against
+                                  # the refinement (measured on the
+                                  # synthetic two-seam ring: mid-ring
+                                  # error 0.13 -> 0.27 at weight 1e7)
     local_ba_max_points: int = 4096  # compact free-landmark axis of the
                                   # windowed BA: the Schur reductions run
                                   # over this many free points (one-hot

@@ -119,6 +119,10 @@ class LoopCloser:
         self.cfg = cfg
         self.vocab = vocab
         self.min_gap = min_kfs_between_loops
+        # the reference's 10-keyframe-id gaps, converted to frames at its
+        # keyframe density (~3 frames/KF early-map): recency exclusion for
+        # candidates and consecutive-closure suppression
+        self.min_gap_frames = 3 * min_kfs_between_loops
         # background_gba=True: the post-correction global BA runs as
         # host-stepped chunks interleaved with tracking (step_background),
         # like the reference's detached GBA thread; False runs it to
@@ -148,8 +152,16 @@ class LoopCloser:
                 (st, best_candidate, found)."""
                 neigh = covis[k] >= cfg.map.covis_th
                 exclude = neigh | (jnp.arange(m.K) == k)
-                # recent keyframes trivially share words — exclude a gap
-                exclude = exclude | (jnp.arange(m.K) > k - self.min_gap)
+                # recent keyframes trivially share words — exclude a gap.
+                # Measured in FRAMES, not keyframe rows: culling leaves our
+                # keyframe ids ~4x sparser than the reference's, so its
+                # 10-KEYFRAME heuristics (mnId + 10, LoopClosing.cc:130)
+                # translate to ~1-1.5 s of footage, not 10 rows (10 rows
+                # was a whole revisit lap on the bench — it suppressed
+                # every second loop)
+                fid_k = m.kf_frame_id[k]
+                exclude = exclude | (m.kf_frame_id
+                                     > fid_k - self.min_gap_frames)
                 scores, _ = database.query(st.db, st.db.kf_word[k],
                                            st.db.kf_wt[k], vocab.num_words)
                 min_score = jnp.min(jnp.where(neigh & st.db.kf_valid,
@@ -177,8 +189,13 @@ class LoopCloser:
                 st = st._replace(consist_cnt=jnp.where(
                     enable, cnt_grp, st.consist_cnt))
                 best = jnp.argmax(jnp.where(enough, scores, -1.0))
-                found = (jnp.any(enough) & (m.n_kfs > self.min_gap)
-                         & (k - st.last_loop_kf > self.min_gap) & enable)
+                last_fid = jnp.where(
+                    st.last_loop_kf >= 0,
+                    m.kf_frame_id[jnp.clip(st.last_loop_kf, 0)],
+                    -(10 ** 9))
+                found = (jnp.any(enough) & (m.n_kfs > 3)
+                         & (fid_k - last_fid > self.min_gap_frames)
+                         & enable)
                 return st, best, found
 
             # the reference's consumer loop pops ONE keyframe per iteration
@@ -328,7 +345,14 @@ class LoopCloser:
             # total correspondences (SearchByProjection with Scw,
             # LoopClosing.cc:439-476: accept needs >= 40 total)
             covis0 = map_state.covisibility(m)
-            group_kf = (covis0[c] > 0) | (jnp.arange(K) == c)
+            # the reference's group = the matched keyframe's covisible set
+            # (GetVectorCovisibleKeyFrames, LoopClosing.cc:406); add c's
+            # TEMPORAL neighbors too — after windowed-BA edge pruning, old
+            # segments keep few shared observations, so covisibility alone
+            # under-populates the loop-side landmark group (measured: the
+            # Sim3 ladder then fails n_widened >= 40 for several chunks)
+            group_kf = ((covis0[c] > 0) | (jnp.abs(jnp.arange(K) - c) <= 3)) \
+                & m.kf_valid
             obs = jnp.where(group_kf[:, None] & (m.kf_mp >= 0), m.kf_mp, M)
             group_mp = jnp.zeros((M + 1,), bool).at[obs.ravel()].set(True)[:M]
             group_mp = group_mp & m.mp_valid
@@ -337,13 +361,30 @@ class LoopCloser:
             qkw, tkw, skw = sim3.compose(q12, t12, s12, *S_cw)
             x_in_k = sim3.apply(qkw, tkw, skw, m.mp_pos)
             frame_k = _kf_as_frame(m, k)
+            # per-landmark octave PREDICTION from viewing distance
+            # (SearchByProjection(Scw) calls PredictScale per point,
+            # ``ORBmatcher.cc:340-347``) — a constant octave 0 here capped
+            # the widened count at the level-0/1 subset (measured 39 < 40
+            # accept gate for five consecutive chunks on the hard bench)
+            lvl_k = matcher.predict_level(
+                jnp.linalg.norm(x_in_k, axis=-1), m.mp_max_dist, cfg)
+            # keypoints of k already claimed by refined Sim3 inliers: the
+            # reference SEEDS mvpCurrentMatchedPoints with the ComputeSim3
+            # matches and SearchByProjection(Scw) only FILLS EMPTY slots
+            # (``LoopClosing.cc:439-449``) — so the >= 40 accept counts
+            # sim3 inliers PLUS widened additions, not widened alone
+            # (counting only the widened set rejected genuine early-overlap
+            # revisits for several chunks on the hard bench)
+            matched_k2 = jnp.zeros((P,), bool).at[
+                jnp.where(pair_ok & inl, i_idx, P)].set(True, mode="drop")
             kp_to_mp_w, _ = matcher.search_by_projection_pose(
-                x_in_k, m.mp_desc, jnp.zeros((M,), jnp.int32), group_mp,
-                *se3.identity(), frame_k, cfg, th=8.0, check_rotation=False)
+                x_in_k, m.mp_desc, lvl_k, group_mp,
+                *se3.identity(), frame_k, cfg, th=10.0,
+                check_rotation=False, exclude_kp=matched_k2)
             n_widened = jnp.sum((kp_to_mp_w >= 0).astype(jnp.int32))
             accepted = ((n_inl >= MIN_SIM3_INLIERS)
                         & (n_pairs >= MIN_BOW_PAIRS)
-                        & (n_widened >= MIN_TOTAL_MATCHES))
+                        & (n_inl + n_widened >= MIN_TOTAL_MATCHES))
             return accepted, n_inl, q12, t12, s12, kp_to_mp_w
 
         @jax.jit
@@ -477,6 +518,13 @@ class LoopCloser:
                 row = fuse_rows[ri]
                 row_on = m.kf_valid[row] & accepted
                 frame_r = _kf_as_frame(m, row)
+                # NOTE: the reference's Fuse predicts a per-landmark octave
+                # (``ORBmatcher.cc:880-886``); here the sweep searches at
+                # the base octave-0/1 window — measured A/B on the drifted
+                # ring: predicted-level gating cuts the cross-seam fusion
+                # set enough that the subsequent all-free GBA relaxes the
+                # correction (max keyframe error 0.066 -> 0.217), while the
+                # base window keeps the weld dense. Documented deviation.
                 kp_to_lmp, _ = matcher.search_by_projection_pose(
                     m.mp_pos, m.mp_desc, jnp.zeros((M,), jnp.int32),
                     loop_side & row_on, m.kf_q[row], m.kf_t[row], frame_r,
@@ -553,21 +601,36 @@ class LoopCloser:
             # faster per LM iteration than the matrix-free CG chunk at
             # bench scale (ba.dense_gba_chunk docstring)
             @jax.jit
-            def _gba_start(m: map_state.MapState) -> ba.DenseGBAState:
+            def _gba_start(m: map_state.MapState,
+                           st: LoopState) -> ba.DenseGBAState:
                 rows = jnp.arange(m.K)
                 kp_valid = m.kf_kp_valid & m.kf_valid[:, None]
                 cam_free = m.kf_valid & (rows > 0)
+                if cfg.solver.gba_structure_only:
+                    cam_free = jnp.zeros_like(cam_free)
+                # measured seams enter as strong SE3 priors (documented
+                # deviation: the pure-reprojection GBA can out-vote the
+                # few welded cross-seam observations on our sparser maps
+                # and relax the correction away — ba._loop_prior_terms)
+                L = MAX_LOOP_EDGES
+                live = jnp.arange(L) < jnp.minimum(st.n_loop_edges, L)
+                lw = jnp.where(live, cfg.solver.gba_loop_prior_weight, 0.0)
+                lt = st.loop_rt / jnp.maximum(st.loop_rs, 1e-9)
                 return ba.dense_gba_init(
                     m.kf_uv, m.kf_ur, m.kf_octave, m.kf_mp, kp_valid,
                     m.kf_q, m.kf_t, cam_free, m.mp_pos, m.mp_valid,
-                    m.n_kfs, m.n_mps, cfg)
+                    m.n_kfs, m.n_mps, cfg, loop_i=st.loop_ei,
+                    loop_j=st.loop_ej, loop_q=st.loop_rq, loop_t=lt,
+                    loop_w=lw)
 
             @jax.jit
             def _gba_step(st: ba.DenseGBAState) -> ba.DenseGBAState:
                 return ba.dense_gba_chunk(st, cfg, n_iters=GBA_CHUNK_ITERS)
         else:
             @jax.jit
-            def _gba_start(m: map_state.MapState) -> ba.GBAState:
+            def _gba_start(m: map_state.MapState,
+                           st: LoopState) -> ba.GBAState:
+                del st   # edge-sharded path keeps reference GBA semantics
                 from orb_slam_2_ros_tpu.parallel.dist_ba import pad_problem
                 rows = jnp.arange(m.K)
                 kp_valid = m.kf_kp_valid & m.kf_valid[:, None]
@@ -654,7 +717,7 @@ class LoopCloser:
             m, st, jnp.int32(0), k, jax.random.PRNGKey(0))
         m2, _ = self._apply_correction(m, st, jnp.int32(0), k,
                                        q12, t12, s12, kp_w)
-        g = self._gba_step(self._gba_start(m))
+        g = self._gba_step(self._gba_start(m, st))
         m3 = self._gba_finish(m, g)
         jax.block_until_ready((st2.n_ingested, m2.kf_q, m3.kf_q))
 
@@ -769,29 +832,46 @@ class LoopCloser:
             closed_any = closed_any or closed
         return m, closed_any
 
+    def dispatch(self, m: map_state.MapState):
+        """Dispatch one ingest+detect program and queue its verdict refs;
+        no host fetch. The System consumes the PREVIOUS chunk's verdict
+        through its single packed per-chunk probe (slam.track_chunk) and
+        calls consume_host with plain ints."""
+        self.state, cand_dev, k_dev = self._ingest_and_detect(m, self.state)
+        self._pending_verdict.append((cand_dev, k_dev))
+
+    def consume_host(self, m: map_state.MapState, cand: int, k_i: int):
+        """Consume an already-fetched verdict (cand/k as python ints).
+        Returns (map, closed)."""
+        if cand < 0:
+            return m, False
+        return self._run_ladder(m, cand, k_i)
+
     def _consume_verdict(self, m: map_state.MapState, cand_dev, k_dev):
         cand = int(jax.device_get(cand_dev))
         if cand < 0:
             return m, False
+        return self._run_ladder(m, cand, int(jax.device_get(k_dev)))
+
+    def _run_ladder(self, m: map_state.MapState, cand: int, k_i: int):
         # a queued verdict's keyframes can be culled by the mapper between
         # dispatch and consumption; check liveness on the CURRENT map before
         # paying for the correction program (two scalar gathers vs relying
         # on the Sim3 inlier gate to reject a stale row)
-        k_i = int(jax.device_get(k_dev))
         valid = jax.device_get((m.kf_valid[cand], m.kf_valid[k_i]))
         if not (bool(valid[0]) and bool(valid[1])):
             return m, False
         self._key, sub = jax.random.split(self._key)
         accepted, n_inl, q12, t12, s12, kp_to_mp_w = self._sim3_check(
-            m, self.state, jnp.int32(cand), k_dev, sub)
+            m, self.state, jnp.int32(cand), jnp.int32(k_i), sub)
         accepted = bool(jax.device_get(accepted))
         if accepted:
             # the expensive correction program runs ONLY here — a rejected
             # candidate (the common case while a revisit streams by) never
             # pays for the essential graph + fusion sweep
             m2, st2 = self._apply_correction(
-                m, self.state, jnp.int32(cand), k_dev, q12, t12, s12,
-                kp_to_mp_w)
+                m, self.state, jnp.int32(cand), jnp.int32(k_i), q12, t12,
+                s12, kp_to_mp_w)
             # drop any not-yet-checked verdicts: they predate this
             # correction and would re-close the same seam against the
             # corrected map
@@ -803,7 +883,7 @@ class LoopCloser:
             if self.gba is not None:
                 self.gba = None
                 self.n_gba_aborts += 1
-            self.gba = self._gba_start(m2)
+            self.gba = self._gba_start(m2, self.state)
             self._gba_iters_done = 0
             if not self.background_gba:
                 m2 = self.run_gba_to_completion(m2)
@@ -818,29 +898,47 @@ class LoopCloser:
     def _loop_edge_residual(self, m: map_state.MapState) -> float:
         """Max translation residual of the stored (measured) loop-edge
         Sim3s against the map's CURRENT relative poses — how well the map
-        still honors the seams it closed. Host-side, runs at GBA-finish
-        only."""
+        still honors the seams it closed. PURE NUMPY on host after one
+        batched fetch: eager per-edge jnp ops here compiled + launched a
+        dozen tiny device programs per call through the relay (~0.4 s
+        each — measured as an 11 s end-of-sequence stall)."""
         import numpy as np
         st = self.state
-        L = min(int(jax.device_get(st.n_loop_edges)), MAX_LOOP_EDGES)
+        fetched = jax.device_get((st.n_loop_edges, st.loop_ei, st.loop_ej,
+                                  st.loop_rt, st.loop_rs, m.kf_q, m.kf_t))
+        n_le, ei, ej, rt, rs, kf_q, kf_t = (np.asarray(x) for x in fetched)
+        L = min(int(n_le), MAX_LOOP_EDGES)
         if L == 0:
             return 0.0
-        ei = np.asarray(jax.device_get(st.loop_ei))[:L]
-        ej = np.asarray(jax.device_get(st.loop_ej))[:L]
-        rt = np.asarray(jax.device_get(st.loop_rt))[:L]
-        rs = np.asarray(jax.device_get(st.loop_rs))[:L].reshape(-1)
-        kf_q = jnp.asarray(jax.device_get(m.kf_q))
-        kf_t = jnp.asarray(jax.device_get(m.kf_t))
+        rs = rs.reshape(-1)
+
+        def qmul(a, b):
+            aw, ax, ay, az = a
+            bw, bx, by, bz = b
+            return np.array([aw*bw - ax*bx - ay*by - az*bz,
+                             aw*bx + ax*bw + ay*bz - az*by,
+                             aw*by - ax*bz + ay*bw + az*bx,
+                             aw*bz + ax*by - ay*bx + az*bw])
+
+        def qrot(q, v):
+            t2 = 2.0 * np.cross(q[1:], v)
+            return v + q[0] * t2 + np.cross(q[1:], t2)
+
         worst = 0.0
         for a in range(L):
             c, k = int(ei[a]), int(ej[a])
-            q_act, t_act = se3.relative(kf_q[k], kf_t[k], kf_q[c], kf_t[c])
+            # T_kc = T_kw * T_cw^-1: q = qk*conj(qc), t = tk - R(q) tc
+            qc, tc = kf_q[c], kf_t[c]
+            qk, tk = kf_q[k], kf_t[k]
+            qc_i = np.array([qc[0], -qc[1], -qc[2], -qc[3]])
+            q_act = qmul(qk, qc_i)
+            t_act = tk - qrot(q_act, tc)
             # the stored edge is a Sim3: its translation carries the
             # measured scale (mono loops have s != 1), while t_act is SE3 —
             # compare in the common SE3 frame (t/s, cf. sim3.to_se3) so a
             # perfectly honored mono seam reads as zero residual
-            worst = max(worst, float(jnp.linalg.norm(
-                jnp.asarray(rt[a] / max(rs[a], 1e-9)) - t_act)))
+            worst = max(worst, float(np.linalg.norm(
+                rt[a] / max(rs[a], 1e-9) - t_act)))
         return worst
 
     def step_background(self, m: map_state.MapState):

@@ -103,6 +103,12 @@ class System:
         import jax
         self._reloc_key = jax.random.PRNGKey(cfg.seed + 1)
         self._last_frame_inputs = None
+        # single packed per-chunk probe (see track_chunk): lagged loop
+        # verdict + per-frame states + keyframe-pool level in ONE transfer
+        self._neg1 = jnp.int32(-1)
+        self._pack_probe = jax.jit(lambda outs, cand, k, nk: jnp.concatenate(
+            [jnp.stack([cand.astype(jnp.float32), k.astype(jnp.float32),
+                        nk.astype(jnp.float32)]), outs[:, 3]]))
         # keyframe-pool recycling: every KF_COMPACT_CHECK_EVERY chunks one
         # scalar fetch checks the pool level; above the watermark the culled
         # rows are compacted away (Map::EraseKeyFrame, Map.cc:81-97)
@@ -216,6 +222,9 @@ class System:
         # LocalMapping/LoopClosing consumer threads, SURVEY.md §2.D)
         recs: List[FrameRecord] = []
         C = self.tracker.chunk
+        lc = self.loop_closer
+        loop_on = (lc is not None and self.loop_closing_enabled
+                   and not self.localization_only)
         for w0 in range(0, len(grays), C):
             w1 = min(w0 + C, len(grays))
             carry_before = self.tracker.carry   # device refs (zero-copy)
@@ -223,15 +232,53 @@ class System:
                 self.tracker.process_chunk(
                     grays[w0:w1], depths[w0:w1], timestamps[w0:w1],
                     defer_fetch=True, prestaged=wire)
-            # per-frame relocalization probe (Tracking.cc:341-346): one
-            # small synchronous fetch per chunk; LOST frames trigger
-            # relocalization attempts (every lost frame, like the
-            # reference's per-frame retry) + a host-level chunk replay
-            # around the first success (lost-lag <= 1 frame, see
-            # _replay_chunk)
-            if self.relocalizer is not None:
-                states = self.tracker.last_chunk_states()
-                if states is not None and (states == LOST).any():
+            # mapping: one step per chunk, gated ON DEVICE — the program
+            # no-ops via lax.cond unless the chunk inserted a keyframe
+            # (the reference's LocalMapping thread idles while its queue is
+            # empty, LocalMapping.cc:50-126)
+            gba_running = lc is not None and lc.gba_running
+            if self.mapper is not None and not self.localization_only:
+                with self.timers.time("local_mapping"):
+                    m2, n_culled, last_mp2 = self.mapper.run(
+                        self.tracker.carry.m, self.tracker.carry.last_mp,
+                        allow_compact=not gba_running, full=True)
+                    self.tracker.carry = self.tracker.carry._replace(
+                        m=m2, last_mp=last_mp2)
+                    self._culled_dev.append(n_culled)
+            if loop_on:
+                with self.timers.time("loop_closing"):
+                    # detection dispatch only — the verdict is consumed at
+                    # a fixed ONE-CHUNK lag through the packed probe below
+                    lc.dispatch(self.tracker.carry.m)
+                    # background GBA: one chunk per tracking chunk, so the
+                    # heavy refinement never stalls the camera (the
+                    # reference's detached GBA thread, LoopClosing.cc:689)
+                    m3, finished = lc.step_background(self.tracker.carry.m)
+                    if finished:
+                        self.tracker.adopt_map(m3)
+            # ---- SINGLE packed probe fetch per chunk. Every host decision
+            # rides ONE small device->host transfer (a lagged loop verdict,
+            # this chunk's per-frame states for the relocalization probe,
+            # and the keyframe-pool level): each extra synchronous fetch
+            # through the remote-TPU relay costs tens of milliseconds and
+            # can drop the runtime into its slow per-launch mode (measured
+            # r5: splitting these into 2-3 fetches cost ~3x end-to-end).
+            # The schedule depends only on chunk count -> deterministic.
+            vals = self._probe_fetch()
+            if vals is not None:
+                cand, k_i, n_kfs, states = vals
+                if loop_on and cand is not None:
+                    with self.timers.time("loop_closing"):
+                        m2, closed = lc.consume_host(
+                            self.tracker.carry.m, cand, k_i)
+                        if closed:
+                            self.tracker.adopt_map(m2)
+                # per-frame relocalization (Tracking.cc:341-346): LOST
+                # frames trigger relocalization attempts (every lost frame,
+                # like the reference's per-frame retry) + a host-level
+                # chunk replay around the first success (lost-lag <= 1
+                # frame, see _replay_chunk)
+                if self.relocalizer is not None and (states == LOST).any():
                     ok = False
                     with self.timers.time("relocalization"):
                         for f in np.flatnonzero(states == LOST):
@@ -252,57 +299,14 @@ class System:
                             self.tracker.n_kfs <= \
                             self.cfg.tracking.min_num_kf_in_map:
                         self.reset()
-            # mapping: one step per chunk, gated ON DEVICE — the program
-            # no-ops via lax.cond unless the chunk inserted a keyframe
-            # (the reference's LocalMapping thread idles while its queue is
-            # empty, LocalMapping.cc:50-126; the host never fetches, so the
-            # relay's launch pattern stays fixed)
-            gba_running = (self.loop_closer is not None
-                           and self.loop_closer.gba_running)
-            if self.mapper is not None and not self.localization_only:
-                with self.timers.time("local_mapping"):
-                    m2, n_culled, last_mp2 = self.mapper.run(
-                        self.tracker.carry.m, self.tracker.carry.last_mp,
-                        allow_compact=not gba_running, full=True)
-                    self.tracker.carry = self.tracker.carry._replace(
-                        m=m2, last_mp=last_mp2)
-                    self._culled_dev.append(n_culled)
-            if self.loop_closer is not None and self.loop_closing_enabled \
-                    and not self.localization_only:
-                with self.timers.time("loop_closing"):
-                    m2, closed = self.loop_closer.process(self.tracker.carry.m)
-                    if closed:
-                        self.tracker.adopt_map(m2)
-                    # background GBA: one chunk per tracking chunk, so the
-                    # heavy refinement never stalls the camera (the
-                    # reference's detached GBA thread, LoopClosing.cc:689)
-                    m3, finished = self.loop_closer.step_background(
-                        self.tracker.carry.m)
-                    if finished:
-                        self.tracker.adopt_map(m3)
-            # keyframe-pool recycling: a FIXED-LAG probe — every 8 chunks
-            # the current n_kfs device scalar is remembered, and it is read
-            # on the NEXT chunk (one full chunk of work dispatched behind
-            # it, so the fetch virtually never waits); the consumption
-            # schedule depends only on the chunk count, never on device
-            # readiness, so two runs of the same binary compact at the same
-            # frames (reproducibility; an is_ready() poll here made the
-            # trajectory relay-latency-dependent). When the pool passes the
-            # watermark, culled rows are compacted away so insertion never
-            # starves (Map::EraseKeyFrame, Map.cc:81-97)
-            self._chunks_since_kf_check += 1
-            if (self.mapper is not None and not self.localization_only
-                    and not (self.loop_closer is not None
-                             and self.loop_closer.gba_running)):
-                if self._kf_probe is not None:
-                    n_kfs, K = (int(jax.device_get(self._kf_probe)),
-                                self.tracker.carry.m.K)
-                    self._kf_probe = None
-                    if n_kfs >= int(self._kf_compact_watermark * K):
-                        self.compact_keyframe_pool()
-                elif self._chunks_since_kf_check >= 8:
-                    self._chunks_since_kf_check = 0
-                    self._kf_probe = self.tracker.carry.m.n_kfs
+                # keyframe-pool recycling: above the watermark, culled rows
+                # are compacted away so insertion never starves
+                # (Map::EraseKeyFrame, Map.cc:81-97); rare host event
+                if (self.mapper is not None and not self.localization_only
+                        and not (lc is not None and lc.gba_running)
+                        and n_kfs >= int(self._kf_compact_watermark
+                                         * self.tracker.carry.m.K)):
+                    self.compact_keyframe_pool()
         self._frame_counter += len(grays)
         # keep REFERENCES (possibly device-resident, wire-format); the rare
         # consumers (relocalize, render_debug_image) convert on demand via
@@ -320,6 +324,27 @@ class System:
             with self.timers.time("relocalization"):
                 self.relocalize()
         return init_recs + recs
+
+    def _probe_fetch(self):
+        """One packed device->host transfer carrying every per-chunk host
+        decision input: the LAGGED loop-detection verdict (cand, k), the
+        just-tracked chunk's per-frame state codes, and the keyframe count.
+        Returns (cand | None, k_i, n_kfs, states) or None before any chunk
+        has been tracked."""
+        if self.tracker._last_outs is None:
+            return None
+        outs, kc = self.tracker._last_outs
+        lc = self.loop_closer
+        have_verdict = lc is not None and len(lc._pending_verdict) > 1
+        if have_verdict:
+            cand_dev, k_dev = lc._pending_verdict.pop(0)
+        else:
+            cand_dev = k_dev = self._neg1
+        packed = self._pack_probe(outs, cand_dev, k_dev,
+                                  self.tracker.carry.m.n_kfs)
+        vals = np.asarray(jax.device_get(packed))
+        cand = int(vals[0]) if have_verdict else None
+        return cand, int(vals[1]), int(vals[2]), vals[3:3 + kc].astype(int)
 
     def compact_keyframe_pool(self) -> int:
         """Recycle culled keyframe rows (``Map::EraseKeyFrame``,

@@ -277,6 +277,27 @@ def _relayout(k, L, parents, descs, weights, cfg: SlamConfig) -> Vocabulary:
     so descent remains well-defined."""
     n_nodes = len(parents)
 
+    # fast path: a COMPLETE tree written in breadth-first id order (every
+    # level full, children contiguous) re-lays with pure array reshapes —
+    # required at ORBvoc scale (k=10, L=6 ~ 1.1M nodes), where the general
+    # ragged-tree walk below would spend minutes in Python dicts.
+    sizes = [k ** l for l in range(1, L + 1)]
+    if n_nodes == sum(sizes):
+        starts = np.cumsum([0] + sizes)        # level l-1 starts at starts[l-1]
+        ids = np.arange(1, n_nodes + 1)
+        lvl = np.searchsorted(starts[1:], ids - 1, side="right")  # 0-based
+        slot = (ids - 1) - starts[lvl]
+        expect_parent = np.where(
+            lvl == 0, 0, starts[np.maximum(lvl - 1, 0)] + slot // k + 1)
+        if np.array_equal(parents[:n_nodes].astype(np.int64), expect_parent):
+            node_desc = np.ascontiguousarray(descs[:n_nodes]).view(
+                "<u4").astype(np.uint32).reshape(n_nodes, 8)
+            return Vocabulary(
+                node_desc=jnp.asarray(node_desc),
+                word_weight=jnp.asarray(weights[starts[L - 1]:],
+                                        jnp.float32),
+                k=k, levels=L, levels_up=cfg.vocab.levels_up)
+
     # re-layout: BFS from the root. Record i holds node id i+1 (the root,
     # id 0, is not written; ``saveToBinFile`` starts at m_nodes[1]). Dense
     # slot of child j of dense node i: i*k+j.

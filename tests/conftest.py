@@ -40,7 +40,7 @@ SLOW_MODULES = {
     "test_tracking_e2e", "test_localization_vo", "test_mono_tracking",
     "test_stereo_tracking", "test_map_merge", "test_dist_ba",
     "test_wire_path", "test_pool_recycling", "test_kitti_metric",
-    "test_tum_e2e", "test_hard_sequences",
+    "test_tum_e2e", "test_hard_sequences", "test_orbvoc_scale",
 }
 
 

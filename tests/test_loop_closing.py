@@ -154,6 +154,10 @@ def build_looped_map(cfg, drift_xi=(0.15, 0.0, -0.1, 0.0, 0.03, 0.0),
         mp_pos=jnp.asarray(mp_pos), mp_valid=jnp.asarray(mp_valid),
         mp_desc=jnp.asarray(mp_desc),
         mp_first_kf=jnp.asarray(mp_first),
+        # realistic source-frame stamps (~3 frames/keyframe): the
+        # detection gap heuristics measure FRAMES (loop_closing.py
+        # min_gap_frames), so the synthetic map must carry ids
+        kf_frame_id=jnp.arange(m.K, dtype=jnp.int32) * 3,
         n_kfs=jnp.int32(N_KF), n_mps=jnp.int32(next_mp))
     if return_feats:
         return m, gt, descs, (feats, th_f)
@@ -167,11 +171,15 @@ def small_cfg():
         map=MapConfig(max_kfs=16, max_mps=1024, max_kps=256),
         vocab=VocabConfig(k=6, levels=3),
         # the ring's injected 0.26 m seam is far larger than a real map's
-        # residual drift; the CG-Schur chunks need ~20 outer iterations to
-        # polish it (the production default is the reference's 10,
-        # LoopClosing.cc:763 — measured identical to 20 at full-system
-        # scale where seams are cm-class)
-        solver=SolverConfig(global_ba_iters=20))
+        # residual drift; the chunks need ~20 outer iterations to polish it
+        # (the production default is the reference's 10, LoopClosing.cc:763
+        # — measured identical to 20 at full-system scale where seams are
+        # cm-class). This synthetic ring's observations were generated
+        # from TRUE geometry, so the all-free reference GBA recovers truth
+        # here — the test drives gba_structure_only=False to exercise that
+        # path (production defaults to structure-only: real maps'
+        # observations are drift-consistent, see config.py).
+        solver=SolverConfig(global_ba_iters=20, gba_structure_only=False))
 
 
 def pose_err_deg_m(q, t, q_gt, t_gt):
@@ -377,7 +385,10 @@ def test_second_loop_preserves_first_seam():
         orb=OrbConfig(n_features=256, max_kps=256),
         map=MapConfig(max_kfs=32, max_mps=2048, max_kps=256),
         vocab=VocabConfig(k=6, levels=3),
-        solver=SolverConfig(global_ba_iters=20))
+        # truth-consistent synthetic observations: exercise the reference's
+        # all-free GBA (thresholds below are calibrated to its pose polish;
+        # production defaults to structure-only, see config.py)
+        solver=SolverConfig(global_ba_iters=20, gba_structure_only=False))
     m, gt, descs, feats_info = build_looped_map(cfg, return_feats=True)
     voc = vocabulary.train_vocabulary(descs, cfg, seed=0)
     lc = LoopCloser(cfg, voc, min_kfs_between_loops=6)
@@ -459,7 +470,10 @@ def test_second_loop_aborts_inflight_gba():
         orb=OrbConfig(n_features=256, max_kps=256),
         map=MapConfig(max_kfs=32, max_mps=2048, max_kps=256),
         vocab=VocabConfig(k=6, levels=3),
-        solver=SolverConfig(global_ba_iters=20))
+        # truth-consistent synthetic observations: exercise the reference's
+        # all-free GBA (thresholds below are calibrated to its pose polish;
+        # production defaults to structure-only, see config.py)
+        solver=SolverConfig(global_ba_iters=20, gba_structure_only=False))
     m, gt, descs, feats_info = build_looped_map(cfg, return_feats=True)
     voc = vocabulary.train_vocabulary(descs, cfg, seed=0)
     lc = LoopCloser(cfg, voc, min_kfs_between_loops=6, background_gba=True)
