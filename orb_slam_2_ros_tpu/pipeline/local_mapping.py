@@ -21,6 +21,8 @@ equivalent of SURVEY.md §2.D). The step:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -371,7 +373,61 @@ class LocalMapper:
             n_row = mesh.shape[cfg.mesh.kf_axis]
             assert (2 * window) % n_row == 0, \
                 f"2*window={2*window} must divide by kf-axis size {n_row}"
+        # one compiled program pair per (config, window, ...) — not per
+        # mapper (trace reuse; see tracking._compiled_track_chunk)
+        if mesh is None:
+            self._mapping_step_full, self._mapping_step_light = \
+                _compiled_mapping_steps(cfg, window, triangulate_new_points)
+        else:
+            self._mapping_step_full, self._mapping_step_light = \
+                _build_mapping_steps(cfg, window, triangulate_new_points,
+                                     mesh)
+        # post-step keyframe count from the previous run (device scalar);
+        # -1 = never ran, first step always executes
+        self._prev_n_kfs = jnp.int32(-1)
+        # free-landmark count of the most recent BA step (device scalar;
+        # fetch via last_ba_free_points). A value above
+        # cfg.solver.local_ba_max_points means the compact landmark axis
+        # overflowed and the excess points were frozen for that step.
+        self._last_n_ba_free = jnp.int32(0)
 
+
+    def run(self, m: map_state.MapState, last_mp: jnp.ndarray = None,
+            allow_compact: bool = True, full: bool = True,
+            force: bool = False):
+        """One mapping step. Returns (new_map, n_culled, last_mp') where
+        last_mp' is the caller's keypoint->map-point association vector
+        re-indexed through the compaction remap (pass the tracker's
+        ``carry.last_mp``; omitted -> a dummy is threaded through).
+        allow_compact=False freezes point-pool ids (background GBA in
+        flight); full=False runs the LIGHT program (BA + cull + compact).
+        The step no-ops on device unless a keyframe arrived since the last
+        step (force=True overrides, e.g. after a loop correction)."""
+        if last_mp is None:
+            last_mp = jnp.full((m.P,), -1, jnp.int32)
+        step = self._mapping_step_full if full else self._mapping_step_light
+        prev = jnp.int32(-1) if force else self._prev_n_kfs
+        m, n_culled, last_mp, self._last_n_ba_free, self._prev_n_kfs = step(
+            m, last_mp, jnp.asarray(allow_compact), prev)
+        return m, n_culled, last_mp
+
+    @property
+    def last_ba_free_points(self) -> int:
+        """Free-landmark count of the most recent executed BA step (0 when
+        the step no-opped). Above cfg.solver.local_ba_max_points the
+        compact axis overflowed: the excess landmarks stayed frozen.
+        Host-synchronous fetch — debug/observability only."""
+        return int(jax.device_get(self._last_n_ba_free))
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_mapping_steps(cfg: SlamConfig, window: int,
+                            triangulate_new_points: bool):
+    return _build_mapping_steps(cfg, window, triangulate_new_points, None)
+
+
+def _build_mapping_steps(cfg: SlamConfig, window: int,
+                         triangulate_new_points: bool, mesh):
         def _mapping_body(m: map_state.MapState, last_mp: jnp.ndarray,
                           allow_compact: jnp.ndarray, full: bool):
             K, P, M = m.K, m.P, m.M
@@ -526,42 +582,8 @@ class LocalMapper:
                 (m, last_mp, allow_compact))
             return m, n_culled, last_mp, n_ba_free, m.n_kfs
 
-        self._mapping_step_full = jax.jit(
-            lambda m, lmp, ac, pn: _mapping_step(m, lmp, ac, pn, True))
-        self._mapping_step_light = jax.jit(
-            lambda m, lmp, ac, pn: _mapping_step(m, lmp, ac, pn, False))
-        # post-step keyframe count from the previous run (device scalar);
-        # -1 = never ran, first step always executes
-        self._prev_n_kfs = jnp.int32(-1)
-        # free-landmark count of the most recent BA step (device scalar;
-        # fetch via last_ba_free_points). A value above
-        # cfg.solver.local_ba_max_points means the compact landmark axis
-        # overflowed and the excess points were frozen for that step.
-        self._last_n_ba_free = jnp.int32(0)
+        return (jax.jit(
+            lambda m, lmp, ac, pn: _mapping_step(m, lmp, ac, pn, True)),
+            jax.jit(
+            lambda m, lmp, ac, pn: _mapping_step(m, lmp, ac, pn, False)))
 
-    def run(self, m: map_state.MapState, last_mp: jnp.ndarray = None,
-            allow_compact: bool = True, full: bool = True,
-            force: bool = False):
-        """One mapping step. Returns (new_map, n_culled, last_mp') where
-        last_mp' is the caller's keypoint->map-point association vector
-        re-indexed through the compaction remap (pass the tracker's
-        ``carry.last_mp``; omitted -> a dummy is threaded through).
-        allow_compact=False freezes point-pool ids (background GBA in
-        flight); full=False runs the LIGHT program (BA + cull + compact).
-        The step no-ops on device unless a keyframe arrived since the last
-        step (force=True overrides, e.g. after a loop correction)."""
-        if last_mp is None:
-            last_mp = jnp.full((m.P,), -1, jnp.int32)
-        step = self._mapping_step_full if full else self._mapping_step_light
-        prev = jnp.int32(-1) if force else self._prev_n_kfs
-        m, n_culled, last_mp, self._last_n_ba_free, self._prev_n_kfs = step(
-            m, last_mp, jnp.asarray(allow_compact), prev)
-        return m, n_culled, last_mp
-
-    @property
-    def last_ba_free_points(self) -> int:
-        """Free-landmark count of the most recent executed BA step (0 when
-        the step no-opped). Above cfg.solver.local_ba_max_points the
-        compact axis overflowed: the excess landmarks stayed frozen.
-        Host-synchronous fetch — debug/observability only."""
-        return int(jax.device_get(self._last_n_ba_free))

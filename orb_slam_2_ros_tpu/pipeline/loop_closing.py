@@ -137,560 +137,10 @@ class LoopCloser:
         # process(): consumed without blocking once ready on device)
         self._pending_verdict = []
 
-        @jax.jit
-        def _ingest_and_detect(m: map_state.MapState, st: LoopState):
-            # one covisibility build serves every sub-step (the observation
-            # table does not change during ingestion)
-            covis = map_state.covisibility(m)                    # (K, K)
-            eye = jnp.eye(m.K, dtype=bool)
-            cand_out = jnp.int32(-1)
-            k_out = jnp.maximum(m.n_kfs - 1, 0)
-            def detect(st, k, enable):
-                """DetectLoop for keyframe k (``LoopClosing.cc:110-274``):
-                candidate query + minScore floor + 3-consecutive
-                consistency over expanded covisibility groups. Returns
-                (st, best_candidate, found)."""
-                neigh = covis[k] >= cfg.map.covis_th
-                exclude = neigh | (jnp.arange(m.K) == k)
-                # recent keyframes trivially share words — exclude a gap.
-                # Measured in FRAMES, not keyframe rows: culling leaves our
-                # keyframe ids ~4x sparser than the reference's, so its
-                # 10-KEYFRAME heuristics (mnId + 10, LoopClosing.cc:130)
-                # translate to ~1-1.5 s of footage, not 10 rows (10 rows
-                # was a whole revisit lap on the bench — it suppressed
-                # every second loop)
-                fid_k = m.kf_frame_id[k]
-                exclude = exclude | (m.kf_frame_id
-                                     > fid_k - self.min_gap_frames)
-                scores, _ = database.query(st.db, st.db.kf_word[k],
-                                           st.db.kf_wt[k], vocab.num_words)
-                min_score = jnp.min(jnp.where(neigh & st.db.kf_valid,
-                                              scores, jnp.inf))
-                min_score = jnp.where(jnp.isfinite(min_score), min_score,
-                                      0.015)
-                cand = database.detect_candidates(
-                    st.db, st.db.kf_word[k], st.db.kf_wt[k], exclude, covis,
-                    vocab.num_words, min_score=None)
-                cand = cand & (scores >= min_score) & enable
-                group = cand[:, None] & ((covis > 0) | eye)      # (K, K)
-                inherited = jnp.max(
-                    jnp.where(group, st.consist_cnt[None, :], 0), axis=1)
-                cnt = jnp.where(cand, inherited + 1, 0)
-                enough = cand & (cnt >= 3)
-                # store the count on the candidate's WHOLE covisibility
-                # group, not just its own row: the reference's consistency
-                # test intersects candidate GROUPS (spCandidateGroup vs
-                # mvConsistentGroups, LoopClosing.cc:178-253), so the next
-                # keyframe's candidate — typically a few keyframes further
-                # along the revisited segment, covisible with members of
-                # the previous group but not with its leader row — must
-                # still inherit the chain
-                cnt_grp = jnp.max(jnp.where(group, cnt[:, None], 0), axis=0)
-                st = st._replace(consist_cnt=jnp.where(
-                    enable, cnt_grp, st.consist_cnt))
-                best = jnp.argmax(jnp.where(enough, scores, -1.0))
-                last_fid = jnp.where(
-                    st.last_loop_kf >= 0,
-                    m.kf_frame_id[jnp.clip(st.last_loop_kf, 0)],
-                    -(10 ** 9))
-                found = (jnp.any(enough) & (m.n_kfs > 3)
-                         & (fid_k - last_fid > self.min_gap_frames)
-                         & enable)
-                return st, best, found
-
-            # the reference's consumer loop pops ONE keyframe per iteration
-            # and runs DetectLoop on it (LoopClosing.cc:59-94, :110); here
-            # up to MAX_NEW_PER_STEP keyframes are ingested AND detected per
-            # pipeline step, so the 3-consecutive-keyframe consistency
-            # window (:178-253) advances at per-KEYFRAME cadence even when
-            # several keyframes land in one tracking chunk.
-            n_before = st.n_ingested
-            # each unrolled iteration is a lax.cond: when the database has
-            # caught up with the keyframe pool (the common steady state —
-            # most chunks insert zero or one keyframe), the BoW transform +
-            # inverted-file update + candidate query are SKIPPED on device,
-            # like the reference's consumer loop sleeping on an empty queue
-            # (LoopClosing.cc:59-94); the host dispatch stays fixed-shape
-            for _ in range(MAX_NEW_PER_STEP):
-                row = jnp.minimum(st.n_ingested, m.K - 1)
-                enable = st.n_ingested < m.n_kfs
-
-                def ingest_one(args):
-                    st, cand_out, k_out = args
-                    wid, nid, tfidf = vocabulary.transform(
-                        vocab, m.kf_desc[row],
-                        m.kf_kp_valid[row] & m.kf_valid[row])
-                    wt = vocabulary.bow_weights(wid, tfidf, vocab.num_words)
-                    st = st._replace(
-                        db=database.add(st.db, row, wid, wt,
-                                        enable=jnp.array(True)),
-                        kf_node=st.kf_node.at[row].set(nid),
-                        n_ingested=st.n_ingested + 1)
-                    st, best, found = detect(st, row, jnp.array(True))
-                    return (st,
-                            jnp.where(found, best, cand_out),
-                            jnp.where(found, row, k_out))
-
-                st, cand_out, k_out = jax.lax.cond(
-                    enable, ingest_one, lambda a: a, (st, cand_out, k_out))
-            # caught-up steps (nothing ingested) re-detect the newest
-            # keyframe: a candidate that persists across steps still
-            # accumulates consistency — without this, a map whose keyframe
-            # stream has ended (static map, end of sequence) could hold a
-            # genuine revisit forever at count 2
-            newest = jnp.maximum(m.n_kfs - 1, 0)
-
-            def redetect(args):
-                st, cand_out, k_out = args
-                st, best, found = detect(st, newest, jnp.array(True))
-                return (st, jnp.where(found, best, cand_out),
-                        jnp.where(found, newest, k_out))
-
-            st, cand_out, k_out = jax.lax.cond(
-                (st.n_ingested == n_before) & (m.n_kfs > 0),
-                redetect, lambda a: a, (st, cand_out, k_out))
-            return st, cand_out, k_out
-
-        @jax.jit
-        def _sim3_check(m: map_state.MapState, st: LoopState, c, k,
-                        key: jax.Array):
-            """The CHEAP detection-confirmation ladder: BoW pairs -> RANSAC
-            Sim3 -> SearchBySim3 growth -> Huber-LM refine -> Scw widening
-            -> accept verdict (``LoopClosing::ComputeSim3``,
-            ``LoopClosing.cc:277-476``). Split from the correction program
-            so a REJECTED candidate — the common case while a revisit
-            segment streams by — costs this small program only, not the
-            essential-graph + fusion monster (measured 1.5 s/call; during
-            a revisit nearly every chunk carries a candidate)."""
-            K, P, M = m.K, m.P, m.M
-
-            # ---- BoW-gated matching between keyframes k (current) and c
-            valid_k = m.kf_kp_valid[k] & (m.kf_mp[k] >= 0)
-            valid_c = m.kf_kp_valid[c] & (m.kf_mp[c] >= 0)
-            c_to_k, _ = matcher.search_by_node(
-                m.kf_desc[k], st.kf_node[k], valid_k, m.kf_angle[k],
-                m.kf_desc[c], st.kf_node[c], valid_c, m.kf_angle[c], cfg)
-            # pairs aligned on c's keypoint axis: j matched to i=c_to_k[j]
-            pair_ok = c_to_k >= 0
-            i_idx = jnp.clip(c_to_k, 0)
-            mp_k = m.kf_mp[k][i_idx]
-            mp_c = m.kf_mp[c]
-            pair_ok = pair_ok & (mp_k >= 0) & (mp_c >= 0)
-            x1 = se3.apply(m.kf_q[k], m.kf_t[k], m.mp_pos[jnp.clip(mp_k, 0)])
-            x2 = se3.apply(m.kf_q[c], m.kf_t[c], m.mp_pos[jnp.clip(mp_c, 0)])
-            uv1 = m.kf_uv[k][i_idx]
-            uv2 = m.kf_uv[c]
-            n_pairs = jnp.sum(pair_ok.astype(jnp.int32))
-
-            fix_scale = cfg.sensor != 0     # mono estimates scale (SENSOR_MONOCULAR)
-            q12, t12, s12, inl, n_inl = sim3_solver.ransac_sim3(
-                x1, x2, pair_ok, uv1, uv2, cfg, key, fix_scale=fix_scale)
-
-            # ---- SearchBySim3 mutual match growing (ORBmatcher.cc:1104-1328,
-            # called from LoopClosing.cc:334): project c's unmatched
-            # landmarks into k through the RANSAC Sim3 and k's unmatched
-            # landmarks into c through its inverse; a pair entering BOTH
-            # directions (mutual agreement) joins the correspondence set
-            # before the LM refine — on marginal loops this is the
-            # difference between 20 inliers and acceptance failure.
-            frame_k0 = _kf_as_frame(m, k)
-            frame_c0 = _kf_as_frame(m, c)
-            matched_k = jnp.zeros((P,), bool).at[
-                jnp.where(pair_ok, i_idx, P)].set(True, mode="drop")
-            # c -> k: sources are c's landmark-bearing, not-yet-matched kps
-            src_c = (m.kf_kp_valid[c] & (mp_c >= 0)
-                     & m.mp_valid[jnp.clip(mp_c, 0)] & ~pair_ok)
-            x_ck = sim3.apply(q12, t12, s12,
-                              se3.apply(m.kf_q[c], m.kf_t[c],
-                                        m.mp_pos[jnp.clip(mp_c, 0)]))
-            A, _ = matcher.search_by_projection_pose(
-                x_ck, m.kf_desc[c], m.kf_octave[c], src_c,
-                *se3.identity(), frame_k0, cfg, th=7.5,
-                check_rotation=False, exclude_kp=matched_k)
-            # k -> c: sources are k's landmark-bearing, not-yet-matched kps
-            mp_k_all = m.kf_mp[k]
-            src_k = (m.kf_kp_valid[k] & (mp_k_all >= 0)
-                     & m.mp_valid[jnp.clip(mp_k_all, 0)] & ~matched_k)
-            q21, t21, s21 = sim3.inverse(q12, t12, s12)
-            x_kc = sim3.apply(q21, t21, s21,
-                              se3.apply(m.kf_q[k], m.kf_t[k],
-                                        m.mp_pos[jnp.clip(mp_k_all, 0)]))
-            B, _ = matcher.search_by_projection_pose(
-                x_kc, m.kf_desc[k], m.kf_octave[k], src_k,
-                *se3.identity(), frame_c0, cfg, th=7.5,
-                check_rotation=False, exclude_kp=pair_ok)
-            # mutual agreement on c's keypoint axis: c-kp i grew k-kp B[i]
-            # only if k-kp B[i] picked i back (A[B[i]] == i)
-            grown = jnp.where(
-                (B >= 0) & (A[jnp.clip(B, 0)] == jnp.arange(P)), B, -1)
-            c_to_k = jnp.where(pair_ok, c_to_k, grown)
-            pair_ok = pair_ok | (grown >= 0)
-            i_idx = jnp.clip(c_to_k, 0)
-            mp_k = m.kf_mp[k][i_idx]
-            x1 = se3.apply(m.kf_q[k], m.kf_t[k], m.mp_pos[jnp.clip(mp_k, 0)])
-            x2 = se3.apply(m.kf_q[c], m.kf_t[c], m.mp_pos[jnp.clip(mp_c, 0)])
-            uv1 = m.kf_uv[k][i_idx]
-
-            # Huber-LM refinement over ALL correspondences (OptimizeSim3,
-            # Optimizer.cc:1177-1414 refines the full match set — the Huber
-            # kernel downweights RANSAC-rejected outliers, and matches that
-            # reproject under the refined transform can be regained);
-            # accept on the refined inlier count
-            q12, t12, s12, inl, n_inl = sim3_solver.refine_sim3_lm(
-                q12, t12, s12, x1, x2, uv1, uv2, pair_ok, cfg,
-                fix_scale=fix_scale)
-
-            # ---- match widening: project the loop keyframe's neighborhood
-            # landmarks through the estimated Sim3 into keyframe k and count
-            # total correspondences (SearchByProjection with Scw,
-            # LoopClosing.cc:439-476: accept needs >= 40 total)
-            covis0 = map_state.covisibility(m)
-            # the reference's group = the matched keyframe's covisible set
-            # (GetVectorCovisibleKeyFrames, LoopClosing.cc:406); add c's
-            # TEMPORAL neighbors too — after windowed-BA edge pruning, old
-            # segments keep few shared observations, so covisibility alone
-            # under-populates the loop-side landmark group (measured: the
-            # Sim3 ladder then fails n_widened >= 40 for several chunks)
-            group_kf = ((covis0[c] > 0) | (jnp.abs(jnp.arange(K) - c) <= 3)) \
-                & m.kf_valid
-            obs = jnp.where(group_kf[:, None] & (m.kf_mp >= 0), m.kf_mp, M)
-            group_mp = jnp.zeros((M + 1,), bool).at[obs.ravel()].set(True)[:M]
-            group_mp = group_mp & m.mp_valid
-            # S_kw = S_kc * S_cw maps world -> keyframe-k camera coords
-            S_cw = sim3.from_se3(m.kf_q[c], m.kf_t[c])
-            qkw, tkw, skw = sim3.compose(q12, t12, s12, *S_cw)
-            x_in_k = sim3.apply(qkw, tkw, skw, m.mp_pos)
-            frame_k = _kf_as_frame(m, k)
-            # per-landmark octave PREDICTION from viewing distance
-            # (SearchByProjection(Scw) calls PredictScale per point,
-            # ``ORBmatcher.cc:340-347``) — a constant octave 0 here capped
-            # the widened count at the level-0/1 subset (measured 39 < 40
-            # accept gate for five consecutive chunks on the hard bench)
-            lvl_k = matcher.predict_level(
-                jnp.linalg.norm(x_in_k, axis=-1), m.mp_max_dist, cfg)
-            # keypoints of k already claimed by refined Sim3 inliers: the
-            # reference SEEDS mvpCurrentMatchedPoints with the ComputeSim3
-            # matches and SearchByProjection(Scw) only FILLS EMPTY slots
-            # (``LoopClosing.cc:439-449``) — so the >= 40 accept counts
-            # sim3 inliers PLUS widened additions, not widened alone
-            # (counting only the widened set rejected genuine early-overlap
-            # revisits for several chunks on the hard bench)
-            matched_k2 = jnp.zeros((P,), bool).at[
-                jnp.where(pair_ok & inl, i_idx, P)].set(True, mode="drop")
-            kp_to_mp_w, _ = matcher.search_by_projection_pose(
-                x_in_k, m.mp_desc, lvl_k, group_mp,
-                *se3.identity(), frame_k, cfg, th=10.0,
-                check_rotation=False, exclude_kp=matched_k2)
-            n_widened = jnp.sum((kp_to_mp_w >= 0).astype(jnp.int32))
-            accepted = ((n_inl >= MIN_SIM3_INLIERS)
-                        & (n_pairs >= MIN_BOW_PAIRS)
-                        & (n_inl + n_widened >= MIN_TOTAL_MATCHES))
-            return accepted, n_inl, q12, t12, s12, kp_to_mp_w
-
-        @jax.jit
-        def _apply_correction(m: map_state.MapState, st: LoopState, c, k,
-                              q12, t12, s12, kp_to_mp_w):
-            """The EXPENSIVE accepted-loop correction: essential-graph
-            optimization, point correction, cross-seam weld, SearchAndFuse,
-            loop-edge recording (``LoopClosing::CorrectLoop``,
-            ``LoopClosing.cc:479-695``). Host-gated on _sim3_check's
-            verdict, so it traces/compiles/runs only when a loop actually
-            closes."""
-            K, P, M = m.K, m.P, m.M
-            accepted = jnp.array(True)
-            # loop-side landmark group (recomputed; cheap segment passes)
-            covis0 = map_state.covisibility(m)
-            group_kf = (covis0[c] > 0) | (jnp.arange(K) == c)
-            obs = jnp.where(group_kf[:, None] & (m.kf_mp >= 0), m.kf_mp, M)
-            group_mp = jnp.zeros((M + 1,), bool).at[obs.ravel()].set(
-                True)[:M]
-            group_mp = group_mp & m.mp_valid
-
-            # ---- corrected Sim3 pose of keyframe k: S_kw = S_kc * S_cw
-            S_cw = sim3.from_se3(m.kf_q[c], m.kf_t[c])
-            q_corr, t_corr, s_corr = sim3.compose(q12, t12, s12, *S_cw)
-
-            # ---- essential graph
-            qv, tv, sv = sim3.from_se3(m.kf_q, m.kf_t)
-            q_old, t_old, s_old = qv, tv, sv    # for point correction
-            rows = jnp.arange(K)
-            # seed the current keyframe at its corrected pose
-            qv = qv.at[k].set(jnp.where(accepted, q_corr, qv[k]))
-            tv = tv.at[k].set(jnp.where(accepted, t_corr, tv[k]))
-            sv = sv.at[k].set(jnp.where(accepted, s_corr, sv[k]))
-
-            covis = map_state.covisibility(m)
-
-            def rel_edge(i, j):
-                return sim3.compose(q_old[j], t_old[j], s_old[j],
-                                    *sim3.inverse(q_old[i], t_old[i],
-                                                  s_old[i]))
-
-            # chain edges i -> i+1 (spanning-tree equivalent: each KF's
-            # parent is its predecessor in insertion order). Culled keyframes
-            # participate too: their stored poses keep serving as reference
-            # anchors for frame-trajectory composition (the reference keeps
-            # mTcp to the parent for exactly this, ``KeyFrame.cc:553-671``),
-            # so the chain drags them along with the correction.
-            exists = rows < m.n_kfs
-            ei_chain = rows[:-1]
-            ej_chain = rows[1:]
-            w_chain = (exists[ei_chain] & exists[ej_chain]).astype(
-                jnp.float32)
-            # covisibility edges: top-COVIS_EDGE_DEG neighbors >= threshold
-            w_top, idx_top = jax.lax.top_k(covis, COVIS_EDGE_DEG)  # (K, D)
-            ei_cov = jnp.repeat(rows, COVIS_EDGE_DEG)
-            ej_cov = idx_top.reshape(-1)
-            w_cov = ((w_top.reshape(-1) >= COVIS_EDGE_TH)
-                     & m.kf_valid[ei_cov] & m.kf_valid[ej_cov]
-                     & (ei_cov < ej_cov)).astype(jnp.float32)
-            # loop edges: every PAST accepted pair with its measured
-            # relative Sim3 (KeyFrame::mspLoopEdges fed into each
-            # essential-graph run, Optimizer.cc:1047) plus the current one
-            L = MAX_LOOP_EDGES
-            past_ok = (jnp.arange(L)
-                       < jnp.minimum(st.n_loop_edges, L)).astype(jnp.float32)
-            ei_all = jnp.concatenate([ei_chain, ei_cov, st.loop_ei,
-                                      jnp.array([0])])
-            ej_all = jnp.concatenate([ej_chain, ej_cov, st.loop_ej,
-                                      jnp.array([0])])
-            ei_all = ei_all.at[-1].set(c)
-            ej_all = ej_all.at[-1].set(k)
-            w_all = jnp.concatenate(
-                [w_chain, w_cov, 2.0 * past_ok,
-                 jnp.array([2.0]) * accepted.astype(jnp.float32)])
-
-            rq, rt, rs = jax.vmap(rel_edge)(ei_all, ej_all)
-            base = ei_chain.shape[0] + ei_cov.shape[0]
-            rq = rq.at[base:base + L].set(st.loop_rq)
-            rt = rt.at[base:base + L].set(st.loop_rt)
-            rs = rs.at[base:base + L].set(st.loop_rs)
-            rq = rq.at[-1].set(q12)
-            rt = rt.at[-1].set(t12)
-            rs = rs.at[-1].set(s12)
-
-            fixed = jnp.zeros((K,), bool).at[jnp.clip(c, 0)].set(True)
-            fixed = fixed | ~exists
-            q2, t2, s2, _ = pose_graph.optimize_essential_graph(
-                qv, tv, sv, ei_all, ej_all, rq, rt, rs, w_all, fixed, cfg)
-
-            # ---- correct points through their reference keyframes
-            owner = jnp.clip(m.mp_first_kf, 0, K - 1)
-            new_pos = pose_graph.correct_points(
-                m.mp_pos, owner, q_old, t_old, s_old, q2, t2, s2,
-                m.mp_valid & accepted)
-            q_se, t_se = sim3.to_se3(q2, t2, s2)
-            m = m._replace(
-                kf_q=jnp.where(accepted, q_se, m.kf_q),
-                kf_t=jnp.where(accepted, t_se, m.kf_t),
-                mp_pos=new_pos)
-
-            # ---- Loop Fusion step 1 (LoopClosing.cc:595-615): the widened
-            # Scw correspondences REPLACE the current keyframe's conflicting
-            # observations (loop-side landmark wins) and fill its free
-            # keypoints — the direct cross-seam weld that makes the seam a
-            # reprojection constraint, so the later global BA cannot relax
-            # the correction back toward the drifted consensus
-            loop_side = group_mp & m.mp_valid
-            repl = jnp.arange(M + 1, dtype=jnp.int32)
-            cand_w = jnp.where(
-                accepted & (kp_to_mp_w >= 0)
-                & m.mp_valid[jnp.clip(kp_to_mp_w, 0)], kp_to_mp_w, -1)
-            dstk = m.kf_mp[k]
-            gain_k = (cand_w >= 0) & (dstk < 0)
-            m = m._replace(kf_mp=m.kf_mp.at[k].set(
-                jnp.where(gain_k, cand_w, dstk)))
-            confl_k = ((cand_w >= 0) & (dstk >= 0) & (cand_w != dstk)
-                       & ~loop_side[jnp.clip(dstk, 0)])
-            repl = repl.at[jnp.where(confl_k, jnp.clip(dstk, 0), M)].set(
-                jnp.where(confl_k, cand_w, M))
-
-            # ---- SearchAndFuse (LoopClosing.cc:617-642, 698-755): project
-            # the loop group's landmarks through the corrected poses into
-            # the current keyframe and its covisible group (the reference
-            # sweeps the whole mvpCurrentConnectedKFs set); where a keypoint
-            # already references a different landmark, the loop landmark
-            # replaces it (the reference keeps the loop-side point)
-            covis2 = map_state.covisibility(m)
-            _, fuse_targets = jax.lax.top_k(covis2[k], 8)
-            fuse_rows = jnp.concatenate([k[None], fuse_targets])
-            for ri in range(9):
-                row = fuse_rows[ri]
-                row_on = m.kf_valid[row] & accepted
-                frame_r = _kf_as_frame(m, row)
-                # NOTE: the reference's Fuse predicts a per-landmark octave
-                # (``ORBmatcher.cc:880-886``); here the sweep searches at
-                # the base octave-0/1 window — measured A/B on the drifted
-                # ring: predicted-level gating cuts the cross-seam fusion
-                # set enough that the subsequent all-free GBA relaxes the
-                # correction (max keyframe error 0.066 -> 0.217), while the
-                # base window keeps the weld dense. Documented deviation.
-                kp_to_lmp, _ = matcher.search_by_projection_pose(
-                    m.mp_pos, m.mp_desc, jnp.zeros((M,), jnp.int32),
-                    loop_side & row_on, m.kf_q[row], m.kf_t[row], frame_r,
-                    cfg, th=4.0, check_rotation=False)
-                dst = m.kf_mp[row]
-                gain = (kp_to_lmp >= 0) & (dst < 0)
-                m = m._replace(kf_mp=m.kf_mp.at[row].set(
-                    jnp.where(gain, kp_to_lmp, dst)))
-                conflict = ((kp_to_lmp >= 0) & (dst >= 0)
-                            & (kp_to_lmp != dst)
-                            & ~loop_side[jnp.clip(dst, 0)])
-                repl = repl.at[jnp.where(conflict, jnp.clip(dst, 0), M)].set(
-                    jnp.where(conflict, kp_to_lmp, M))
-            repl = repl.at[M].set(M)
-            repl = repl[repl][:M]
-            replaced = repl != jnp.arange(M)
-            # Replace merges found/visible counters (MapPoint.cc:229-233)
-            wtgt = jnp.where(replaced, repl, M)
-            vis = jnp.concatenate(
-                [m.mp_visible, jnp.zeros((1,), jnp.int32)]).at[wtgt].add(
-                jnp.where(replaced, m.mp_visible, 0))[:M]
-            fnd = jnp.concatenate(
-                [m.mp_found, jnp.zeros((1,), jnp.int32)]).at[wtgt].add(
-                jnp.where(replaced, m.mp_found, 0))[:M]
-            m = m._replace(
-                kf_mp=jnp.where(m.kf_mp >= 0, repl[jnp.clip(m.kf_mp, 0)], -1),
-                mp_valid=m.mp_valid & ~replaced,
-                mp_visible=vis, mp_found=fnd)
-
-            # NOTE: the global BA no longer runs here. It is chunked and
-            # host-stepped so tracking keeps flowing while it refines
-            # (_gba_start/_gba_step/_gba_finish below — the functional
-            # analog of the reference's detached, abortable GBA thread,
-            # LoopClosing.cc:689, :758-862).
-
-            # record the accepted pair as a persistent loop edge
-            # (LoopClosing.cc:681-682 AddLoopEdge both ways). The pool is a
-            # RING over the L slots: past MAX_LOOP_EDGES accepted loops the
-            # oldest measured edge is retired — the essential graph keeps
-            # the L most recent seams instead of silently rewriting slot
-            # L-1 forever (n_loop_edges keeps the lifetime count)
-            slot = st.n_loop_edges % L
-            acc_i = accepted.astype(jnp.int32)
-            st = st._replace(
-                last_loop_kf=jnp.where(accepted, k, st.last_loop_kf),
-                consist_cnt=jnp.where(accepted,
-                                      jnp.zeros_like(st.consist_cnt),
-                                      st.consist_cnt),
-                loop_ei=st.loop_ei.at[slot].set(
-                    jnp.where(accepted, c, st.loop_ei[slot])),
-                loop_ej=st.loop_ej.at[slot].set(
-                    jnp.where(accepted, k, st.loop_ej[slot])),
-                loop_rq=st.loop_rq.at[slot].set(
-                    jnp.where(accepted, q12, st.loop_rq[slot])),
-                loop_rt=st.loop_rt.at[slot].set(
-                    jnp.where(accepted, t12, st.loop_rt[slot])),
-                loop_rs=st.loop_rs.at[slot].set(
-                    jnp.where(accepted, s12, st.loop_rs[slot])),
-                n_loop_edges=st.n_loop_edges + acc_i)
-            return m, st
-
-        # ---- chunked, abortable global BA (RunGlobalBundleAdjustment,
-        # LoopClosing.cc:758-862; robust=False mirrors the reference:
-        # GlobalBundleAdjustemnt(..., bRobust=false), LoopClosing.cc:763 —
-        # the large seam residuals ARE the signal, a kernel would
-        # downweight exactly them)
-
-        n_edge_shards = (mesh.shape[cfg.mesh.mp_axis]
-                         if mesh is not None else 1)
-
-        if mesh is None:
-            # single-chip: dense-Schur table-layout GBA (one-hot MXU
-            # segment sums + one LU on the reduced camera system) — ~20x
-            # faster per LM iteration than the matrix-free CG chunk at
-            # bench scale (ba.dense_gba_chunk docstring)
-            @jax.jit
-            def _gba_start(m: map_state.MapState,
-                           st: LoopState) -> ba.DenseGBAState:
-                rows = jnp.arange(m.K)
-                kp_valid = m.kf_kp_valid & m.kf_valid[:, None]
-                cam_free = m.kf_valid & (rows > 0)
-                if cfg.solver.gba_structure_only:
-                    cam_free = jnp.zeros_like(cam_free)
-                # measured seams enter as strong SE3 priors (documented
-                # deviation: the pure-reprojection GBA can out-vote the
-                # few welded cross-seam observations on our sparser maps
-                # and relax the correction away — ba._loop_prior_terms)
-                L = MAX_LOOP_EDGES
-                live = jnp.arange(L) < jnp.minimum(st.n_loop_edges, L)
-                lw = jnp.where(live, cfg.solver.gba_loop_prior_weight, 0.0)
-                lt = st.loop_rt / jnp.maximum(st.loop_rs, 1e-9)
-                return ba.dense_gba_init(
-                    m.kf_uv, m.kf_ur, m.kf_octave, m.kf_mp, kp_valid,
-                    m.kf_q, m.kf_t, cam_free, m.mp_pos, m.mp_valid,
-                    m.n_kfs, m.n_mps, cfg, loop_i=st.loop_ei,
-                    loop_j=st.loop_ej, loop_q=st.loop_rq, loop_t=lt,
-                    loop_w=lw)
-
-            @jax.jit
-            def _gba_step(st: ba.DenseGBAState) -> ba.DenseGBAState:
-                return ba.dense_gba_chunk(st, cfg, n_iters=GBA_CHUNK_ITERS)
-        else:
-            @jax.jit
-            def _gba_start(m: map_state.MapState,
-                           st: LoopState) -> ba.GBAState:
-                del st   # edge-sharded path keeps reference GBA semantics
-                from orb_slam_2_ros_tpu.parallel.dist_ba import pad_problem
-                rows = jnp.arange(m.K)
-                kp_valid = m.kf_kp_valid & m.kf_valid[:, None]
-                prob = ba.build_problem(m.kf_uv, m.kf_ur, m.kf_octave,
-                                        m.kf_mp, kp_valid, cfg)
-                prob = pad_problem(prob, n_edge_shards)
-                cam_free = m.kf_valid & (rows > 0)
-                return ba.gba_init(m.kf_q, m.kf_t, cam_free, m.mp_pos,
-                                   m.mp_valid, prob, m.n_kfs, m.n_mps, cfg,
-                                   robust=False)
-            from orb_slam_2_ros_tpu.parallel import dist_ba
-
-            @jax.jit
-            def _gba_step(st: ba.GBAState) -> ba.GBAState:
-                return dist_ba.distributed_gba_chunk(
-                    mesh, st, cfg, n_iters=GBA_CHUNK_ITERS)
-
-        @jax.jit
-        def _gba_finish(m: map_state.MapState, st: ba.GBAState):
-            """Reconcile the GBA snapshot with the live map: keyframes and
-            points that were IN the GBA take the optimized values; anything
-            created (or culled) while it ran is corrected through its
-            nearest in-GBA ancestor at the CURRENT relative pose — the
-            spanning-tree propagation of ``RunGlobalBundleAdjustment``
-            (``LoopClosing.cc:790-850``, ``mTcwGBA``/``mnBAGlobalForKF``)."""
-            K, M = m.K, m.M
-            rows = jnp.arange(K)
-            exists = rows < m.n_kfs
-            known = (st.cam_free | (rows == 0)) & (rows < st.n0)
-            anc = jax.lax.associative_scan(
-                jnp.maximum, jnp.where(known, rows, -1))
-            a = jnp.clip(anc, 0)
-            # current relative pose to the anchor, composed with the
-            # anchor's optimized pose: T_iw' = (T_iw T_aw^-1) T_aw_gba
-            q_ia, t_ia = se3.relative(m.kf_q, m.kf_t, m.kf_q[a], m.kf_t[a])
-            q_prop, t_prop = se3.compose(q_ia, t_ia, st.q[a], st.t[a])
-            use_prop = exists & ~known & (anc >= 0)
-            q_new = jnp.where(known[:, None], st.q,
-                              jnp.where(use_prop[:, None], q_prop, m.kf_q))
-            t_new = jnp.where(known[:, None], st.t,
-                              jnp.where(use_prop[:, None], t_prop, m.kf_t))
-            # points: in-GBA points take optimized positions; points created
-            # during the GBA re-express through their reference keyframe
-            in_gba = (jnp.arange(M) < st.nm0) & st.mp_free
-            r = jnp.clip(m.mp_first_kf, 0, K - 1)
-            x_r = se3.apply(m.kf_q[r], m.kf_t[r], m.mp_pos)
-            qi, ti = se3.inverse(q_new[r], t_new[r])
-            p_prop = se3.apply(qi, ti, x_r)
-            prop_pt = m.mp_valid & ~in_gba & (m.mp_first_kf >= 0)
-            pos_new = jnp.where(in_gba[:, None], st.pos,
-                                jnp.where(prop_pt[:, None], p_prop,
-                                          m.mp_pos))
-            return m._replace(kf_q=q_new, kf_t=t_new, mp_pos=pos_new)
-
-        self._ingest_and_detect = _ingest_and_detect
-        self._sim3_check = _sim3_check
-        self._apply_correction = _apply_correction
-        self._gba_start = _gba_start
-        self._gba_step = _gba_step
-        self._gba_finish = _gba_finish
+        (self._ingest_and_detect, self._sim3_check,
+         self._apply_correction, self._gba_start, self._gba_step,
+         self._gba_finish) = _compiled_loop_programs(
+            cfg, vocab, self.min_gap_frames, mesh)
         self._key = jax.random.PRNGKey(cfg.seed)
         self.n_loops_closed = 0
         # in-flight GBA handle (None = idle); dropping it aborts — the
@@ -983,3 +433,578 @@ class LoopCloser:
         while self.gba is not None:
             m, _ = self.step_background(m)
         return m
+
+
+_LOOP_PROGRAM_CACHE = {}
+
+
+def _compiled_loop_programs(cfg: SlamConfig, vocab, min_gap_frames,
+                            mesh):
+    """One compiled program set per (config, vocabulary, gap, mesh) —
+    not per LoopCloser: tracing the Sim3-check / correction / GBA
+    programs costs tens of seconds, and benchmarks build several
+    closers over the same config + vocabulary. The cache holds strong
+    references (so id(vocab) keys stay unique for the process life).
+    """
+    key = (cfg, id(vocab), min_gap_frames, id(mesh))
+    hit = _LOOP_PROGRAM_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+    progs = _build_loop_programs(cfg, vocab, min_gap_frames, mesh)
+    _LOOP_PROGRAM_CACHE[key] = (progs, vocab, mesh)
+    return progs
+
+
+def _build_loop_programs(cfg: SlamConfig, vocab, min_gap_frames, mesh):
+    n_edge_shards = (mesh.shape[cfg.mesh.mp_axis]
+                     if mesh is not None else 1)
+    @jax.jit
+    def _ingest_and_detect(m: map_state.MapState, st: LoopState):
+        # one covisibility build serves every sub-step (the observation
+        # table does not change during ingestion)
+        covis = map_state.covisibility(m)                    # (K, K)
+        eye = jnp.eye(m.K, dtype=bool)
+        cand_out = jnp.int32(-1)
+        k_out = jnp.maximum(m.n_kfs - 1, 0)
+        def detect(st, k, enable):
+            """DetectLoop for keyframe k (``LoopClosing.cc:110-274``):
+            candidate query + minScore floor + 3-consecutive
+            consistency over expanded covisibility groups. Returns
+            (st, best_candidate, found)."""
+            neigh = covis[k] >= cfg.map.covis_th
+            exclude = neigh | (jnp.arange(m.K) == k)
+            # recent keyframes trivially share words — exclude a gap.
+            # Measured in FRAMES, not keyframe rows: culling leaves our
+            # keyframe ids ~4x sparser than the reference's, so its
+            # 10-KEYFRAME heuristics (mnId + 10, LoopClosing.cc:130)
+            # translate to ~1-1.5 s of footage, not 10 rows (10 rows
+            # was a whole revisit lap on the bench — it suppressed
+            # every second loop)
+            fid_k = m.kf_frame_id[k]
+            exclude = exclude | (m.kf_frame_id
+                                 > fid_k - min_gap_frames)
+            scores, _ = database.query(st.db, st.db.kf_word[k],
+                                       st.db.kf_wt[k], vocab.num_words)
+            min_score = jnp.min(jnp.where(neigh & st.db.kf_valid,
+                                          scores, jnp.inf))
+            min_score = jnp.where(jnp.isfinite(min_score), min_score,
+                                  0.015)
+            cand = database.detect_candidates(
+                st.db, st.db.kf_word[k], st.db.kf_wt[k], exclude, covis,
+                vocab.num_words, min_score=None)
+            cand = cand & (scores >= min_score) & enable
+            group = cand[:, None] & ((covis > 0) | eye)      # (K, K)
+            inherited = jnp.max(
+                jnp.where(group, st.consist_cnt[None, :], 0), axis=1)
+            cnt = jnp.where(cand, inherited + 1, 0)
+            enough = cand & (cnt >= 3)
+            # store the count on the candidate's WHOLE covisibility
+            # group, not just its own row: the reference's consistency
+            # test intersects candidate GROUPS (spCandidateGroup vs
+            # mvConsistentGroups, LoopClosing.cc:178-253), so the next
+            # keyframe's candidate — typically a few keyframes further
+            # along the revisited segment, covisible with members of
+            # the previous group but not with its leader row — must
+            # still inherit the chain
+            cnt_grp = jnp.max(jnp.where(group, cnt[:, None], 0), axis=0)
+            st = st._replace(consist_cnt=jnp.where(
+                enable, cnt_grp, st.consist_cnt))
+            best = jnp.argmax(jnp.where(enough, scores, -1.0))
+            last_fid = jnp.where(
+                st.last_loop_kf >= 0,
+                m.kf_frame_id[jnp.clip(st.last_loop_kf, 0)],
+                -(10 ** 9))
+            found = (jnp.any(enough) & (m.n_kfs > 3)
+                     & (fid_k - last_fid > min_gap_frames)
+                     & enable)
+            return st, best, found
+
+        # the reference's consumer loop pops ONE keyframe per iteration
+        # and runs DetectLoop on it (LoopClosing.cc:59-94, :110); here
+        # up to MAX_NEW_PER_STEP keyframes are ingested AND detected per
+        # pipeline step, so the 3-consecutive-keyframe consistency
+        # window (:178-253) advances at per-KEYFRAME cadence even when
+        # several keyframes land in one tracking chunk.
+        n_before = st.n_ingested
+        # each unrolled iteration is a lax.cond: when the database has
+        # caught up with the keyframe pool (the common steady state —
+        # most chunks insert zero or one keyframe), the BoW transform +
+        # inverted-file update + candidate query are SKIPPED on device,
+        # like the reference's consumer loop sleeping on an empty queue
+        # (LoopClosing.cc:59-94); the host dispatch stays fixed-shape
+        for _ in range(MAX_NEW_PER_STEP):
+            row = jnp.minimum(st.n_ingested, m.K - 1)
+            enable = st.n_ingested < m.n_kfs
+
+            def ingest_one(args):
+                st, cand_out, k_out = args
+                wid, nid, tfidf = vocabulary.transform(
+                    vocab, m.kf_desc[row],
+                    m.kf_kp_valid[row] & m.kf_valid[row])
+                wt = vocabulary.bow_weights(wid, tfidf, vocab.num_words)
+                st = st._replace(
+                    db=database.add(st.db, row, wid, wt,
+                                    enable=jnp.array(True)),
+                    kf_node=st.kf_node.at[row].set(nid),
+                    n_ingested=st.n_ingested + 1)
+                st, best, found = detect(st, row, jnp.array(True))
+                return (st,
+                        jnp.where(found, best, cand_out),
+                        jnp.where(found, row, k_out))
+
+            st, cand_out, k_out = jax.lax.cond(
+                enable, ingest_one, lambda a: a, (st, cand_out, k_out))
+        # caught-up steps (nothing ingested) re-detect the newest
+        # keyframe: a candidate that persists across steps still
+        # accumulates consistency — without this, a map whose keyframe
+        # stream has ended (static map, end of sequence) could hold a
+        # genuine revisit forever at count 2
+        newest = jnp.maximum(m.n_kfs - 1, 0)
+
+        def redetect(args):
+            st, cand_out, k_out = args
+            st, best, found = detect(st, newest, jnp.array(True))
+            return (st, jnp.where(found, best, cand_out),
+                    jnp.where(found, newest, k_out))
+
+        st, cand_out, k_out = jax.lax.cond(
+            (st.n_ingested == n_before) & (m.n_kfs > 0),
+            redetect, lambda a: a, (st, cand_out, k_out))
+        return st, cand_out, k_out
+
+    @jax.jit
+    def _sim3_check(m: map_state.MapState, st: LoopState, c, k,
+                    key: jax.Array):
+        """The CHEAP detection-confirmation ladder: BoW pairs -> RANSAC
+        Sim3 -> SearchBySim3 growth -> Huber-LM refine -> Scw widening
+        -> accept verdict (``LoopClosing::ComputeSim3``,
+        ``LoopClosing.cc:277-476``). Split from the correction program
+        so a REJECTED candidate — the common case while a revisit
+        segment streams by — costs this small program only, not the
+        essential-graph + fusion monster (measured 1.5 s/call; during
+        a revisit nearly every chunk carries a candidate)."""
+        K, P, M = m.K, m.P, m.M
+
+        # ---- BoW-gated matching between keyframes k (current) and c
+        valid_k = m.kf_kp_valid[k] & (m.kf_mp[k] >= 0)
+        valid_c = m.kf_kp_valid[c] & (m.kf_mp[c] >= 0)
+        c_to_k, _ = matcher.search_by_node(
+            m.kf_desc[k], st.kf_node[k], valid_k, m.kf_angle[k],
+            m.kf_desc[c], st.kf_node[c], valid_c, m.kf_angle[c], cfg)
+        # pairs aligned on c's keypoint axis: j matched to i=c_to_k[j]
+        pair_ok = c_to_k >= 0
+        i_idx = jnp.clip(c_to_k, 0)
+        mp_k = m.kf_mp[k][i_idx]
+        mp_c = m.kf_mp[c]
+        pair_ok = pair_ok & (mp_k >= 0) & (mp_c >= 0)
+        x1 = se3.apply(m.kf_q[k], m.kf_t[k], m.mp_pos[jnp.clip(mp_k, 0)])
+        x2 = se3.apply(m.kf_q[c], m.kf_t[c], m.mp_pos[jnp.clip(mp_c, 0)])
+        uv1 = m.kf_uv[k][i_idx]
+        uv2 = m.kf_uv[c]
+        n_pairs = jnp.sum(pair_ok.astype(jnp.int32))
+
+        fix_scale = cfg.sensor != 0     # mono estimates scale (SENSOR_MONOCULAR)
+        q12, t12, s12, inl, n_inl = sim3_solver.ransac_sim3(
+            x1, x2, pair_ok, uv1, uv2, cfg, key, fix_scale=fix_scale)
+
+        # ---- SearchBySim3 mutual match growing (ORBmatcher.cc:1104-1328,
+        # called from LoopClosing.cc:334): project c's unmatched
+        # landmarks into k through the RANSAC Sim3 and k's unmatched
+        # landmarks into c through its inverse; a pair entering BOTH
+        # directions (mutual agreement) joins the correspondence set
+        # before the LM refine — on marginal loops this is the
+        # difference between 20 inliers and acceptance failure.
+        frame_k0 = _kf_as_frame(m, k)
+        frame_c0 = _kf_as_frame(m, c)
+        matched_k = jnp.zeros((P,), bool).at[
+            jnp.where(pair_ok, i_idx, P)].set(True, mode="drop")
+        # c -> k: sources are c's landmark-bearing, not-yet-matched kps
+        src_c = (m.kf_kp_valid[c] & (mp_c >= 0)
+                 & m.mp_valid[jnp.clip(mp_c, 0)] & ~pair_ok)
+        x_ck = sim3.apply(q12, t12, s12,
+                          se3.apply(m.kf_q[c], m.kf_t[c],
+                                    m.mp_pos[jnp.clip(mp_c, 0)]))
+        A, _ = matcher.search_by_projection_pose(
+            x_ck, m.kf_desc[c], m.kf_octave[c], src_c,
+            *se3.identity(), frame_k0, cfg, th=7.5,
+            check_rotation=False, exclude_kp=matched_k)
+        # k -> c: sources are k's landmark-bearing, not-yet-matched kps
+        mp_k_all = m.kf_mp[k]
+        src_k = (m.kf_kp_valid[k] & (mp_k_all >= 0)
+                 & m.mp_valid[jnp.clip(mp_k_all, 0)] & ~matched_k)
+        q21, t21, s21 = sim3.inverse(q12, t12, s12)
+        x_kc = sim3.apply(q21, t21, s21,
+                          se3.apply(m.kf_q[k], m.kf_t[k],
+                                    m.mp_pos[jnp.clip(mp_k_all, 0)]))
+        B, _ = matcher.search_by_projection_pose(
+            x_kc, m.kf_desc[k], m.kf_octave[k], src_k,
+            *se3.identity(), frame_c0, cfg, th=7.5,
+            check_rotation=False, exclude_kp=pair_ok)
+        # mutual agreement on c's keypoint axis: c-kp i grew k-kp B[i]
+        # only if k-kp B[i] picked i back (A[B[i]] == i)
+        grown = jnp.where(
+            (B >= 0) & (A[jnp.clip(B, 0)] == jnp.arange(P)), B, -1)
+        c_to_k = jnp.where(pair_ok, c_to_k, grown)
+        pair_ok = pair_ok | (grown >= 0)
+        i_idx = jnp.clip(c_to_k, 0)
+        mp_k = m.kf_mp[k][i_idx]
+        x1 = se3.apply(m.kf_q[k], m.kf_t[k], m.mp_pos[jnp.clip(mp_k, 0)])
+        x2 = se3.apply(m.kf_q[c], m.kf_t[c], m.mp_pos[jnp.clip(mp_c, 0)])
+        uv1 = m.kf_uv[k][i_idx]
+
+        # Huber-LM refinement over ALL correspondences (OptimizeSim3,
+        # Optimizer.cc:1177-1414 refines the full match set — the Huber
+        # kernel downweights RANSAC-rejected outliers, and matches that
+        # reproject under the refined transform can be regained);
+        # accept on the refined inlier count
+        q12, t12, s12, inl, n_inl = sim3_solver.refine_sim3_lm(
+            q12, t12, s12, x1, x2, uv1, uv2, pair_ok, cfg,
+            fix_scale=fix_scale)
+
+        # ---- match widening: project the loop keyframe's neighborhood
+        # landmarks through the estimated Sim3 into keyframe k and count
+        # total correspondences (SearchByProjection with Scw,
+        # LoopClosing.cc:439-476: accept needs >= 40 total)
+        covis0 = map_state.covisibility(m)
+        # the reference's group = the matched keyframe's covisible set
+        # (GetVectorCovisibleKeyFrames, LoopClosing.cc:406); add c's
+        # TEMPORAL neighbors too — after windowed-BA edge pruning, old
+        # segments keep few shared observations, so covisibility alone
+        # under-populates the loop-side landmark group (measured: the
+        # Sim3 ladder then fails n_widened >= 40 for several chunks)
+        group_kf = ((covis0[c] > 0) | (jnp.abs(jnp.arange(K) - c) <= 3)) \
+            & m.kf_valid
+        obs = jnp.where(group_kf[:, None] & (m.kf_mp >= 0), m.kf_mp, M)
+        group_mp = jnp.zeros((M + 1,), bool).at[obs.ravel()].set(True)[:M]
+        group_mp = group_mp & m.mp_valid
+        # S_kw = S_kc * S_cw maps world -> keyframe-k camera coords
+        S_cw = sim3.from_se3(m.kf_q[c], m.kf_t[c])
+        qkw, tkw, skw = sim3.compose(q12, t12, s12, *S_cw)
+        x_in_k = sim3.apply(qkw, tkw, skw, m.mp_pos)
+        frame_k = _kf_as_frame(m, k)
+        # per-landmark octave PREDICTION from viewing distance
+        # (SearchByProjection(Scw) calls PredictScale per point,
+        # ``ORBmatcher.cc:340-347``) — a constant octave 0 here capped
+        # the widened count at the level-0/1 subset (measured 39 < 40
+        # accept gate for five consecutive chunks on the hard bench)
+        lvl_k = matcher.predict_level(
+            jnp.linalg.norm(x_in_k, axis=-1), m.mp_max_dist, cfg)
+        # keypoints of k already claimed by refined Sim3 inliers: the
+        # reference SEEDS mvpCurrentMatchedPoints with the ComputeSim3
+        # matches and SearchByProjection(Scw) only FILLS EMPTY slots
+        # (``LoopClosing.cc:439-449``) — so the >= 40 accept counts
+        # sim3 inliers PLUS widened additions, not widened alone
+        # (counting only the widened set rejected genuine early-overlap
+        # revisits for several chunks on the hard bench)
+        matched_k2 = jnp.zeros((P,), bool).at[
+            jnp.where(pair_ok & inl, i_idx, P)].set(True, mode="drop")
+        kp_to_mp_w, _ = matcher.search_by_projection_pose(
+            x_in_k, m.mp_desc, lvl_k, group_mp,
+            *se3.identity(), frame_k, cfg, th=10.0,
+            check_rotation=False, exclude_kp=matched_k2)
+        n_widened = jnp.sum((kp_to_mp_w >= 0).astype(jnp.int32))
+        accepted = ((n_inl >= MIN_SIM3_INLIERS)
+                    & (n_pairs >= MIN_BOW_PAIRS)
+                    & (n_inl + n_widened >= MIN_TOTAL_MATCHES))
+        return accepted, n_inl, q12, t12, s12, kp_to_mp_w
+
+    @jax.jit
+    def _apply_correction(m: map_state.MapState, st: LoopState, c, k,
+                          q12, t12, s12, kp_to_mp_w):
+        """The EXPENSIVE accepted-loop correction: essential-graph
+        optimization, point correction, cross-seam weld, SearchAndFuse,
+        loop-edge recording (``LoopClosing::CorrectLoop``,
+        ``LoopClosing.cc:479-695``). Host-gated on _sim3_check's
+        verdict, so it traces/compiles/runs only when a loop actually
+        closes."""
+        K, P, M = m.K, m.P, m.M
+        accepted = jnp.array(True)
+        # loop-side landmark group (recomputed; cheap segment passes)
+        covis0 = map_state.covisibility(m)
+        group_kf = (covis0[c] > 0) | (jnp.arange(K) == c)
+        obs = jnp.where(group_kf[:, None] & (m.kf_mp >= 0), m.kf_mp, M)
+        group_mp = jnp.zeros((M + 1,), bool).at[obs.ravel()].set(
+            True)[:M]
+        group_mp = group_mp & m.mp_valid
+
+        # ---- corrected Sim3 pose of keyframe k: S_kw = S_kc * S_cw
+        S_cw = sim3.from_se3(m.kf_q[c], m.kf_t[c])
+        q_corr, t_corr, s_corr = sim3.compose(q12, t12, s12, *S_cw)
+
+        # ---- essential graph
+        qv, tv, sv = sim3.from_se3(m.kf_q, m.kf_t)
+        q_old, t_old, s_old = qv, tv, sv    # for point correction
+        rows = jnp.arange(K)
+        # seed the current keyframe at its corrected pose
+        qv = qv.at[k].set(jnp.where(accepted, q_corr, qv[k]))
+        tv = tv.at[k].set(jnp.where(accepted, t_corr, tv[k]))
+        sv = sv.at[k].set(jnp.where(accepted, s_corr, sv[k]))
+
+        covis = map_state.covisibility(m)
+
+        def rel_edge(i, j):
+            return sim3.compose(q_old[j], t_old[j], s_old[j],
+                                *sim3.inverse(q_old[i], t_old[i],
+                                              s_old[i]))
+
+        # chain edges i -> i+1 (spanning-tree equivalent: each KF's
+        # parent is its predecessor in insertion order). Culled keyframes
+        # participate too: their stored poses keep serving as reference
+        # anchors for frame-trajectory composition (the reference keeps
+        # mTcp to the parent for exactly this, ``KeyFrame.cc:553-671``),
+        # so the chain drags them along with the correction.
+        exists = rows < m.n_kfs
+        ei_chain = rows[:-1]
+        ej_chain = rows[1:]
+        w_chain = (exists[ei_chain] & exists[ej_chain]).astype(
+            jnp.float32)
+        # covisibility edges: top-COVIS_EDGE_DEG neighbors >= threshold
+        w_top, idx_top = jax.lax.top_k(covis, COVIS_EDGE_DEG)  # (K, D)
+        ei_cov = jnp.repeat(rows, COVIS_EDGE_DEG)
+        ej_cov = idx_top.reshape(-1)
+        w_cov = ((w_top.reshape(-1) >= COVIS_EDGE_TH)
+                 & m.kf_valid[ei_cov] & m.kf_valid[ej_cov]
+                 & (ei_cov < ej_cov)).astype(jnp.float32)
+        # loop edges: every PAST accepted pair with its measured
+        # relative Sim3 (KeyFrame::mspLoopEdges fed into each
+        # essential-graph run, Optimizer.cc:1047) plus the current one
+        L = MAX_LOOP_EDGES
+        past_ok = (jnp.arange(L)
+                   < jnp.minimum(st.n_loop_edges, L)).astype(jnp.float32)
+        ei_all = jnp.concatenate([ei_chain, ei_cov, st.loop_ei,
+                                  jnp.array([0])])
+        ej_all = jnp.concatenate([ej_chain, ej_cov, st.loop_ej,
+                                  jnp.array([0])])
+        ei_all = ei_all.at[-1].set(c)
+        ej_all = ej_all.at[-1].set(k)
+        w_all = jnp.concatenate(
+            [w_chain, w_cov, 2.0 * past_ok,
+             jnp.array([2.0]) * accepted.astype(jnp.float32)])
+
+        rq, rt, rs = jax.vmap(rel_edge)(ei_all, ej_all)
+        base = ei_chain.shape[0] + ei_cov.shape[0]
+        rq = rq.at[base:base + L].set(st.loop_rq)
+        rt = rt.at[base:base + L].set(st.loop_rt)
+        rs = rs.at[base:base + L].set(st.loop_rs)
+        rq = rq.at[-1].set(q12)
+        rt = rt.at[-1].set(t12)
+        rs = rs.at[-1].set(s12)
+
+        fixed = jnp.zeros((K,), bool).at[jnp.clip(c, 0)].set(True)
+        fixed = fixed | ~exists
+        q2, t2, s2, _ = pose_graph.optimize_essential_graph(
+            qv, tv, sv, ei_all, ej_all, rq, rt, rs, w_all, fixed, cfg)
+
+        # ---- correct points through their reference keyframes
+        owner = jnp.clip(m.mp_first_kf, 0, K - 1)
+        new_pos = pose_graph.correct_points(
+            m.mp_pos, owner, q_old, t_old, s_old, q2, t2, s2,
+            m.mp_valid & accepted)
+        q_se, t_se = sim3.to_se3(q2, t2, s2)
+        m = m._replace(
+            kf_q=jnp.where(accepted, q_se, m.kf_q),
+            kf_t=jnp.where(accepted, t_se, m.kf_t),
+            mp_pos=new_pos)
+
+        # ---- Loop Fusion step 1 (LoopClosing.cc:595-615): the widened
+        # Scw correspondences REPLACE the current keyframe's conflicting
+        # observations (loop-side landmark wins) and fill its free
+        # keypoints — the direct cross-seam weld that makes the seam a
+        # reprojection constraint, so the later global BA cannot relax
+        # the correction back toward the drifted consensus
+        loop_side = group_mp & m.mp_valid
+        repl = jnp.arange(M + 1, dtype=jnp.int32)
+        cand_w = jnp.where(
+            accepted & (kp_to_mp_w >= 0)
+            & m.mp_valid[jnp.clip(kp_to_mp_w, 0)], kp_to_mp_w, -1)
+        dstk = m.kf_mp[k]
+        gain_k = (cand_w >= 0) & (dstk < 0)
+        m = m._replace(kf_mp=m.kf_mp.at[k].set(
+            jnp.where(gain_k, cand_w, dstk)))
+        confl_k = ((cand_w >= 0) & (dstk >= 0) & (cand_w != dstk)
+                   & ~loop_side[jnp.clip(dstk, 0)])
+        repl = repl.at[jnp.where(confl_k, jnp.clip(dstk, 0), M)].set(
+            jnp.where(confl_k, cand_w, M))
+
+        # ---- SearchAndFuse (LoopClosing.cc:617-642, 698-755): project
+        # the loop group's landmarks through the corrected poses into
+        # the current keyframe and its covisible group (the reference
+        # sweeps the whole mvpCurrentConnectedKFs set); where a keypoint
+        # already references a different landmark, the loop landmark
+        # replaces it (the reference keeps the loop-side point)
+        covis2 = map_state.covisibility(m)
+        _, fuse_targets = jax.lax.top_k(covis2[k], 8)
+        fuse_rows = jnp.concatenate([k[None], fuse_targets])
+        for ri in range(9):
+            row = fuse_rows[ri]
+            row_on = m.kf_valid[row] & accepted
+            frame_r = _kf_as_frame(m, row)
+            # NOTE: the reference's Fuse predicts a per-landmark octave
+            # (``ORBmatcher.cc:880-886``); here the sweep searches at
+            # the base octave-0/1 window — measured A/B on the drifted
+            # ring: predicted-level gating cuts the cross-seam fusion
+            # set enough that the subsequent all-free GBA relaxes the
+            # correction (max keyframe error 0.066 -> 0.217), while the
+            # base window keeps the weld dense. Documented deviation.
+            kp_to_lmp, _ = matcher.search_by_projection_pose(
+                m.mp_pos, m.mp_desc, jnp.zeros((M,), jnp.int32),
+                loop_side & row_on, m.kf_q[row], m.kf_t[row], frame_r,
+                cfg, th=4.0, check_rotation=False)
+            dst = m.kf_mp[row]
+            gain = (kp_to_lmp >= 0) & (dst < 0)
+            m = m._replace(kf_mp=m.kf_mp.at[row].set(
+                jnp.where(gain, kp_to_lmp, dst)))
+            conflict = ((kp_to_lmp >= 0) & (dst >= 0)
+                        & (kp_to_lmp != dst)
+                        & ~loop_side[jnp.clip(dst, 0)])
+            repl = repl.at[jnp.where(conflict, jnp.clip(dst, 0), M)].set(
+                jnp.where(conflict, kp_to_lmp, M))
+        repl = repl.at[M].set(M)
+        repl = repl[repl][:M]
+        replaced = repl != jnp.arange(M)
+        # Replace merges found/visible counters (MapPoint.cc:229-233)
+        wtgt = jnp.where(replaced, repl, M)
+        vis = jnp.concatenate(
+            [m.mp_visible, jnp.zeros((1,), jnp.int32)]).at[wtgt].add(
+            jnp.where(replaced, m.mp_visible, 0))[:M]
+        fnd = jnp.concatenate(
+            [m.mp_found, jnp.zeros((1,), jnp.int32)]).at[wtgt].add(
+            jnp.where(replaced, m.mp_found, 0))[:M]
+        m = m._replace(
+            kf_mp=jnp.where(m.kf_mp >= 0, repl[jnp.clip(m.kf_mp, 0)], -1),
+            mp_valid=m.mp_valid & ~replaced,
+            mp_visible=vis, mp_found=fnd)
+
+        # NOTE: the global BA no longer runs here. It is chunked and
+        # host-stepped so tracking keeps flowing while it refines
+        # (_gba_start/_gba_step/_gba_finish below — the functional
+        # analog of the reference's detached, abortable GBA thread,
+        # LoopClosing.cc:689, :758-862).
+
+        # record the accepted pair as a persistent loop edge
+        # (LoopClosing.cc:681-682 AddLoopEdge both ways). The pool is a
+        # RING over the L slots: past MAX_LOOP_EDGES accepted loops the
+        # oldest measured edge is retired — the essential graph keeps
+        # the L most recent seams instead of silently rewriting slot
+        # L-1 forever (n_loop_edges keeps the lifetime count)
+        slot = st.n_loop_edges % L
+        acc_i = accepted.astype(jnp.int32)
+        st = st._replace(
+            last_loop_kf=jnp.where(accepted, k, st.last_loop_kf),
+            consist_cnt=jnp.where(accepted,
+                                  jnp.zeros_like(st.consist_cnt),
+                                  st.consist_cnt),
+            loop_ei=st.loop_ei.at[slot].set(
+                jnp.where(accepted, c, st.loop_ei[slot])),
+            loop_ej=st.loop_ej.at[slot].set(
+                jnp.where(accepted, k, st.loop_ej[slot])),
+            loop_rq=st.loop_rq.at[slot].set(
+                jnp.where(accepted, q12, st.loop_rq[slot])),
+            loop_rt=st.loop_rt.at[slot].set(
+                jnp.where(accepted, t12, st.loop_rt[slot])),
+            loop_rs=st.loop_rs.at[slot].set(
+                jnp.where(accepted, s12, st.loop_rs[slot])),
+            n_loop_edges=st.n_loop_edges + acc_i)
+        return m, st
+
+    # ---- chunked, abortable global BA (RunGlobalBundleAdjustment,
+    # LoopClosing.cc:758-862; robust=False mirrors the reference:
+    # GlobalBundleAdjustemnt(..., bRobust=false), LoopClosing.cc:763 —
+    # the large seam residuals ARE the signal, a kernel would
+    # downweight exactly them)
+
+    n_edge_shards = (mesh.shape[cfg.mesh.mp_axis]
+                     if mesh is not None else 1)
+
+    if mesh is None:
+        # single-chip: dense-Schur table-layout GBA (one-hot MXU
+        # segment sums + one LU on the reduced camera system) — ~20x
+        # faster per LM iteration than the matrix-free CG chunk at
+        # bench scale (ba.dense_gba_chunk docstring)
+        @jax.jit
+        def _gba_start(m: map_state.MapState,
+                       st: LoopState) -> ba.DenseGBAState:
+            rows = jnp.arange(m.K)
+            kp_valid = m.kf_kp_valid & m.kf_valid[:, None]
+            cam_free = m.kf_valid & (rows > 0)
+            if cfg.solver.gba_structure_only:
+                cam_free = jnp.zeros_like(cam_free)
+            # measured seams enter as strong SE3 priors (documented
+            # deviation: the pure-reprojection GBA can out-vote the
+            # few welded cross-seam observations on our sparser maps
+            # and relax the correction away — ba._loop_prior_terms)
+            L = MAX_LOOP_EDGES
+            live = jnp.arange(L) < jnp.minimum(st.n_loop_edges, L)
+            lw = jnp.where(live, cfg.solver.gba_loop_prior_weight, 0.0)
+            lt = st.loop_rt / jnp.maximum(st.loop_rs, 1e-9)
+            return ba.dense_gba_init(
+                m.kf_uv, m.kf_ur, m.kf_octave, m.kf_mp, kp_valid,
+                m.kf_q, m.kf_t, cam_free, m.mp_pos, m.mp_valid,
+                m.n_kfs, m.n_mps, cfg, loop_i=st.loop_ei,
+                loop_j=st.loop_ej, loop_q=st.loop_rq, loop_t=lt,
+                loop_w=lw)
+
+        @jax.jit
+        def _gba_step(st: ba.DenseGBAState) -> ba.DenseGBAState:
+            return ba.dense_gba_chunk(st, cfg, n_iters=GBA_CHUNK_ITERS)
+    else:
+        @jax.jit
+        def _gba_start(m: map_state.MapState,
+                       st: LoopState) -> ba.GBAState:
+            del st   # edge-sharded path keeps reference GBA semantics
+            from orb_slam_2_ros_tpu.parallel.dist_ba import pad_problem
+            rows = jnp.arange(m.K)
+            kp_valid = m.kf_kp_valid & m.kf_valid[:, None]
+            prob = ba.build_problem(m.kf_uv, m.kf_ur, m.kf_octave,
+                                    m.kf_mp, kp_valid, cfg)
+            prob = pad_problem(prob, n_edge_shards)
+            cam_free = m.kf_valid & (rows > 0)
+            return ba.gba_init(m.kf_q, m.kf_t, cam_free, m.mp_pos,
+                               m.mp_valid, prob, m.n_kfs, m.n_mps, cfg,
+                               robust=False)
+        from orb_slam_2_ros_tpu.parallel import dist_ba
+
+        @jax.jit
+        def _gba_step(st: ba.GBAState) -> ba.GBAState:
+            return dist_ba.distributed_gba_chunk(
+                mesh, st, cfg, n_iters=GBA_CHUNK_ITERS)
+
+    @jax.jit
+    def _gba_finish(m: map_state.MapState, st: ba.GBAState):
+        """Reconcile the GBA snapshot with the live map: keyframes and
+        points that were IN the GBA take the optimized values; anything
+        created (or culled) while it ran is corrected through its
+        nearest in-GBA ancestor at the CURRENT relative pose — the
+        spanning-tree propagation of ``RunGlobalBundleAdjustment``
+        (``LoopClosing.cc:790-850``, ``mTcwGBA``/``mnBAGlobalForKF``)."""
+        K, M = m.K, m.M
+        rows = jnp.arange(K)
+        exists = rows < m.n_kfs
+        known = (st.cam_free | (rows == 0)) & (rows < st.n0)
+        anc = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(known, rows, -1))
+        a = jnp.clip(anc, 0)
+        # current relative pose to the anchor, composed with the
+        # anchor's optimized pose: T_iw' = (T_iw T_aw^-1) T_aw_gba
+        q_ia, t_ia = se3.relative(m.kf_q, m.kf_t, m.kf_q[a], m.kf_t[a])
+        q_prop, t_prop = se3.compose(q_ia, t_ia, st.q[a], st.t[a])
+        use_prop = exists & ~known & (anc >= 0)
+        q_new = jnp.where(known[:, None], st.q,
+                          jnp.where(use_prop[:, None], q_prop, m.kf_q))
+        t_new = jnp.where(known[:, None], st.t,
+                          jnp.where(use_prop[:, None], t_prop, m.kf_t))
+        # points: in-GBA points take optimized positions; points created
+        # during the GBA re-express through their reference keyframe
+        in_gba = (jnp.arange(M) < st.nm0) & st.mp_free
+        r = jnp.clip(m.mp_first_kf, 0, K - 1)
+        x_r = se3.apply(m.kf_q[r], m.kf_t[r], m.mp_pos)
+        qi, ti = se3.inverse(q_new[r], t_new[r])
+        p_prop = se3.apply(qi, ti, x_r)
+        prop_pt = m.mp_valid & ~in_gba & (m.mp_first_kf >= 0)
+        pos_new = jnp.where(in_gba[:, None], st.pos,
+                            jnp.where(prop_pt[:, None], p_prop,
+                                      m.mp_pos))
+        return m._replace(kf_q=q_new, kf_t=t_new, mp_pos=pos_new)
+
+    return (_ingest_and_detect, _sim3_check, _apply_correction,
+            _gba_start, _gba_step, _gba_finish)

@@ -28,6 +28,7 @@ step (pipeline/loop_closing.py).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, NamedTuple
 
 import numpy as np
@@ -128,6 +129,301 @@ def _quat_to_R(qw, qx, qy, qz):
     ])
 
 
+@functools.lru_cache(maxsize=None)
+def _compiled_track_chunk(cfg: SlamConfig):
+    """Build + jit the per-chunk tracking program for a config (cached —
+    SlamConfig is a frozen dataclass, so equal configs share one trace)."""
+    P = cfg.orb.max_kps
+    tc = cfg.tracking
+    # close-point depth threshold mThDepth = bf * ThDepth / fx
+    # (Tracking.cc:117-124)
+    th_close = cfg.camera.bf / cfg.camera.fx * cfg.camera.th_depth
+
+    def _track_core(m, frame, q_pred, t_pred, q_last, t_last,
+                    last_mp, last_oct, last_angle,
+                    vo_pos=None, vo_desc=None, vo_oct=None, vo_ok=None,
+                    since_reloc=None):
+        """Two-stage matching + pose LM (TrackWithMotionModel +
+        TrackLocalMap, Tracking.cc:971-1093). In localization-only mode
+        the vo_* arrays carry the previous frame's temporal
+        visual-odometry points (UpdateLastFrame, ``Tracking.cc:893-968``)
+        and join the pose edges so tracking survives leaving the mapped
+        region (``Tracking.cc:349-418``)."""
+        has_last = last_mp >= 0
+        src_pos = m.mp_pos[jnp.clip(last_mp, 0)]
+        src_desc = m.mp_desc[jnp.clip(last_mp, 0)]
+        src_ok = has_last & m.mp_valid[jnp.clip(last_mp, 0)]
+        kp_to_src, _ = matcher.search_by_projection_pose(
+            src_pos, src_desc, last_oct, src_ok, q_pred, t_pred, frame,
+            cfg, th=15.0, src_angle=last_angle, check_rotation=True,
+            widen_below=tc.min_matches_motion)
+        kp_mp1 = jnp.where(kp_to_src >= 0,
+                           last_mp[jnp.clip(kp_to_src, 0)], -1)
+
+        # TrackReferenceKeyFrame fallback (Tracking.cc:328-339, :839-868):
+        # when motion-model matching stays short even after the widened
+        # window, re-associate against the newest keyframe's map points
+        # by descriptor (matcher.search_reference_kf) and optimize from
+        # the LAST pose instead of the constant-velocity prediction.
+        # Predicated dataflow: both branches computed, one selected.
+        r = jnp.maximum(m.n_kfs - 1, 0)
+        ref_mp = m.kf_mp[r]
+        ref_ok = (m.kf_kp_valid[r] & (ref_mp >= 0)
+                  & m.mp_valid[jnp.clip(ref_mp, 0)] & (m.n_kfs > 0))
+        kp_to_ref, _ = matcher.search_reference_kf(
+            m.kf_desc[r], ref_ok, m.kf_angle[r], frame, cfg)
+        kp_mp_ref = jnp.where(kp_to_ref >= 0,
+                              ref_mp[jnp.clip(kp_to_ref, 0)], -1)
+        n_mot = jnp.sum((kp_mp1 >= 0).astype(jnp.int32))
+        n_ref = jnp.sum((kp_mp_ref >= 0).astype(jnp.int32))
+        use_ref = ((n_mot < tc.min_matches_motion)
+                   & (n_ref >= tc.min_matches_reference)
+                   & (n_ref > n_mot))
+        kp_mp1 = jnp.where(use_ref, kp_mp_ref, kp_mp1)
+        q_start = jnp.where(use_ref, q_last, q_pred)
+        t_start = jnp.where(use_ref, t_last, t_pred)
+
+        # localization-VO: match unassociated keypoints against the
+        # previous frame's temporal points so the pose stays estimable
+        # with the map out of view (static branch — zero cost outside
+        # localization mode)
+        use_vo = cfg.localization_only and vo_pos is not None
+        if use_vo:
+            # vo arrays are indexed by the previous frame's keypoint
+            # slots, the same layout as last_angle
+            kp_to_vo, _ = matcher.search_by_projection_pose(
+                vo_pos, vo_desc, vo_oct, vo_ok, q_pred, t_pred, frame,
+                cfg, th=15.0, src_angle=last_angle, check_rotation=True,
+                widen_below=tc.min_matches_motion)
+            kp_vo = jnp.where(kp_mp1 >= 0, -1, kp_to_vo)
+            pos1 = jnp.where((kp_mp1 >= 0)[:, None],
+                             m.mp_pos[jnp.clip(kp_mp1, 0)],
+                             vo_pos[jnp.clip(kp_vo, 0)])
+            valid1 = (kp_mp1 >= 0) | (kp_vo >= 0)
+        else:
+            kp_vo = jnp.full_like(kp_mp1, -1)
+            pos1 = m.mp_pos[jnp.clip(kp_mp1, 0)]
+            valid1 = kp_mp1 >= 0
+
+        q1, t1, inl1, n1 = pose_optimization(
+            q_start, t_start, pos1, frame.uv,
+            frame.u_right, frame.kps.octave, valid1, cfg)
+        kp_mp1 = jnp.where(inl1, kp_mp1, -1)
+        kp_vo = jnp.where(inl1, kp_vo, -1)
+
+        tv = matcher.frustum_check(
+            q1, t1, m.mp_pos, m.mp_normal, m.mp_min_dist, m.mp_max_dist,
+            m.mp_valid, cfg)
+        # visibility bookkeeping: frustum-passing points plus points
+        # already matched by the motion-model stage count as "visible"
+        # this frame (IncreaseVisible call sites, Tracking.cc:1330-1352)
+        seen1 = jnp.zeros((m.M + 1,), bool).at[
+            jnp.where(kp_mp1 >= 0, kp_mp1, m.M)].set(True)[:m.M]
+        vis_mask = tv.ok | seen1
+        # compact frustum survivors into a bounded candidate set (the
+        # array analog of the reference's 80-keyframe local map,
+        # Tracking.cc:1409-1532): the matcher's per-pair gates run on
+        # the VPU, so sweeping only live candidates instead of the full
+        # point pool is a direct per-frame win
+        CAND = min(cfg.map.local_map_cap, m.M)
+        M_ = m.M
+        rank = jnp.cumsum(tv.ok.astype(jnp.int32)) - 1
+        slot = jnp.where(tv.ok & (rank < CAND), rank, CAND)
+        cand = jnp.zeros((CAND + 1,), jnp.int32).at[slot].set(
+            jnp.arange(M_, dtype=jnp.int32))[:CAND]
+        cand_ok = jnp.arange(CAND) < jnp.sum(tv.ok.astype(jnp.int32))
+        tv_c = matcher.TrackInView(
+            uv=tv.uv[cand], u_right=tv.u_right[cand],
+            dist=tv.dist[cand], view_cos=tv.view_cos[cand],
+            pred_level=tv.pred_level[cand], ok=cand_ok)
+        # search window: th=3 for RGB-D, 1 otherwise; widened to 5 for
+        # two frames after a relocalization (SearchLocalPoints,
+        # Tracking.cc:1322-1330)
+        th_base = 3.0 if cfg.sensor == SENSOR_RGBD else 1.0
+        th_lm = jnp.float32(th_base)
+        if since_reloc is not None:
+            th_lm = jnp.where(since_reloc < 2, jnp.float32(5.0), th_lm)
+        kp_to_c, _ = matcher.search_local_map(
+            tv_c, m.mp_desc[cand], frame, kp_mp1 >= 0, cfg, th=th_lm)
+        kp_to_mp2 = jnp.where(kp_to_c >= 0,
+                              cand[jnp.clip(kp_to_c, 0)], -1)
+        kp_mp = jnp.where(kp_mp1 >= 0, kp_mp1, kp_to_mp2)
+        if use_vo:   # a local-map match supersedes a temporal VO match
+            kp_vo = jnp.where(kp_mp >= 0, -1, kp_vo)
+            pos2 = jnp.where((kp_mp >= 0)[:, None],
+                             m.mp_pos[jnp.clip(kp_mp, 0)],
+                             vo_pos[jnp.clip(kp_vo, 0)])
+            valid2 = (kp_mp >= 0) | (kp_vo >= 0)
+        else:
+            pos2 = m.mp_pos[jnp.clip(kp_mp, 0)]
+            valid2 = kp_mp >= 0
+        q2, t2, inl2, n2 = pose_optimization(
+            q1, t1, pos2, frame.uv, frame.u_right,
+            frame.kps.octave, valid2, cfg)
+        n_map = jnp.sum((inl2 & (kp_mp >= 0)).astype(jnp.int32))
+        kp_mp = jnp.where(inl2, kp_mp, -1)
+        close = frame.valid & (frame.depth > 0) & (frame.depth < th_close)
+        n_close_tr = jnp.sum((close & (kp_mp >= 0)).astype(jnp.int32))
+        n_close_free = jnp.sum((close & (kp_mp < 0)).astype(jnp.int32))
+        return (q2, t2, kp_mp, n1, n2, n_map, n_close_tr, n_close_free,
+                vis_mask, kp_vo >= 0)
+
+    def _build_frame(gray_u8, aux_w):
+        # inputs arrive in wire format (u8 gray, u16 millimetre depth or
+        # u8 right image) and convert on device: host->device bandwidth
+        # is the measured bottleneck of the whole pipeline, and u8/u16
+        # carry the same information the reference's 8-bit images and
+        # TUM 16-bit depth PNGs do
+        gray = gray_u8.astype(jnp.float32)
+        # static sensor branch: for stereo `aux` is the right image
+        # (Frame.cc:62-118), for RGB-D the metric depth map (:679-701),
+        # for mono it is ignored
+        if cfg.sensor == SENSOR_STEREO:
+            return frame_mod.build_stereo(gray, aux_w.astype(jnp.float32),
+                                          cfg)
+        elif cfg.sensor == SENSOR_MONOCULAR:
+            return frame_mod.build_mono(gray, cfg)
+        depth = aux_w.astype(jnp.float32) * jnp.float32(1e-3)
+        return frame_mod.build_rgbd(gray, depth, cfg)
+
+    def _frame_step(carry: TrackCarry, inputs):
+        frame, active = inputs
+        m = carry.m
+
+        # ---------- tracking attempt (garbage but harmless pre-init)
+        q_pred, t_pred = se3.compose(carry.vel_q, carry.vel_t,
+                                     carry.q, carry.t)
+        (q2, t2, kp_mp, n1, n2, n_map, nct, ncf, vis_mask,
+         kp_is_vo) = _track_core(
+            m, frame, q_pred, t_pred, carry.q, carry.t,
+            carry.last_mp, carry.last_oct, carry.last_angle,
+            carry.vo_pos, carry.vo_desc, carry.vo_oct, carry.vo_ok,
+            carry.since_reloc)
+        good = ((n2 >= tc.min_inliers_local_map) & active
+                & carry.initialized)
+        # found/visible counters (MapPoint.cc:268-283): feed the
+        # found-ratio map-point culling (LocalMapping.cc:221)
+        m = map_state.bump_visibility(m, vis_mask, kp_mp,
+                                      active & carry.initialized)
+
+        # ---------- stereo/RGB-D initialization (predicated); mono
+        # initializes at the System level (two-view reconstruction)
+        n_depth = jnp.sum((frame.valid & (frame.depth > 0)).astype(jnp.int32))
+        can_init = ((~carry.initialized) & active
+                    & (n_depth >= tc.min_init_stereo_kps))
+        if cfg.sensor == SENSOR_MONOCULAR:
+            can_init = jnp.array(False)
+        q_init = se3.quat_exp(jnp.array([cfg.initial_pitch, 0.0, 0.0]))
+        t_init = jnp.zeros(3)
+
+        # ---------- keyframe decision (NeedNewKeyFrame, Tracking.cc:1103)
+        capacity_ok = ((m.M - m.n_mps >= 1024) & (m.n_kfs < m.K))
+        need_close = (nct < 100) & (ncf > 70)
+        c1 = carry.since_kf >= tc.max_frames_between_kf
+        c2 = ((n2 < (0.75 * carry.ref_tracked.astype(jnp.float32)))
+              | need_close)
+        need_kf = good & capacity_ok & (n2 > 15) & (c1 | c2)
+        if cfg.localization_only:
+            # localization mode: map frozen (System.cc:578-605)
+            need_kf = jnp.array(False)
+            can_init = jnp.array(False)
+
+        # ---------- predicated commit (insert + spawn, no lax.cond)
+        commit = need_kf | (can_init & capacity_ok)
+        q_c = jnp.where(can_init, q_init, q2)
+        t_c = jnp.where(can_init, t_init, t2)
+        kp_mp_c = jnp.where(can_init, -jnp.ones_like(kp_mp), kp_mp)
+        m, kf_row = map_state.commit_keyframe(
+            m, frame, q_c, t_c, carry.frame_id, kp_mp_c, commit, cfg,
+            close_only=True, max_spawn=P, allow_far=can_init)
+        kp_mp_out = jnp.where(commit, kf_row, kp_mp)
+        n_spawned = jnp.sum((kf_row >= 0).astype(jnp.int32))
+
+        # ---------- carry updates
+        track_ok = good | can_init
+        q_new = jnp.where(can_init, q_init, jnp.where(good, q2, carry.q))
+        t_new = jnp.where(can_init, t_init, jnp.where(good, t2, carry.t))
+        vq, vt = se3.relative(q2, t2, carry.q, carry.t)
+        vel_q = jnp.where(good, vq, jnp.where(
+            can_init, jnp.array([1.0, 0, 0, 0]), carry.vel_q))
+        vel_t = jnp.where(good, vt, jnp.where(
+            can_init, jnp.zeros(3), carry.vel_t))
+        initialized = carry.initialized | can_init
+
+        # localization-VO: re-spawn temporal points from THIS frame's
+        # close depths under its final pose for the next frame's match
+        # (UpdateLastFrame, Tracking.cc:919-965; static branch)
+        if cfg.localization_only and cfg.sensor != SENSOR_MONOCULAR:
+            from orb_slam_2_ros_tpu.geometry import camera as cam_mod
+            xc = cam_mod.backproject(cfg.camera, frame.uv, frame.depth)
+            qi_w, ti_w = se3.inverse(q_new, t_new)
+            vo_pos_new = se3.apply(qi_w, ti_w, xc)
+            vo_ok_new = (frame.valid & (frame.depth > 0)
+                         & (frame.depth < th_close) & track_ok)
+            vo_pos_c = jnp.where(track_ok, vo_pos_new, carry.vo_pos)
+            vo_desc_c = jnp.where(track_ok, frame.desc, carry.vo_desc)
+            vo_oct_c = jnp.where(track_ok, frame.kps.octave, carry.vo_oct)
+            vo_ok_c = jnp.where(track_ok, vo_ok_new, carry.vo_ok)
+        else:
+            vo_pos_c, vo_desc_c = carry.vo_pos, carry.vo_desc
+            vo_oct_c, vo_ok_c = carry.vo_oct, carry.vo_ok
+
+        new_carry = TrackCarry(
+            m=m, initialized=initialized, q=q_new, t=t_new,
+            vel_q=vel_q, vel_t=vel_t,
+            last_mp=jnp.where(track_ok, kp_mp_out, carry.last_mp),
+            last_oct=jnp.where(track_ok, frame.kps.octave, carry.last_oct),
+            last_angle=jnp.where(track_ok, frame.kps.angle,
+                                 carry.last_angle),
+            vo_pos=vo_pos_c, vo_desc=vo_desc_c, vo_oct=vo_oct_c,
+            vo_ok=vo_ok_c,
+            last_vo=jnp.where(track_ok, kp_is_vo, carry.last_vo),
+            ref_tracked=jnp.where(can_init, n_spawned,
+                                  jnp.where(need_kf, n2,
+                                            carry.ref_tracked)),
+            since_kf=jnp.where(commit, 0,
+                               carry.since_kf + active.astype(jnp.int32)),
+            frame_id=carry.frame_id + active.astype(jnp.int32),
+            since_reloc=jnp.minimum(
+                carry.since_reloc + active.astype(jnp.int32), 1000))
+
+        state_code = jnp.where(
+            track_ok, OK,
+            jnp.where(initialized, LOST, NOT_INITIALIZED))
+        qi, ti = se3.inverse(q_new, t_new)
+        n1_out = jnp.where(can_init, n_spawned, n1)
+        n2_out = jnp.where(can_init, n_spawned, n2)
+        # reference-keyframe relative pose T_cr = T_cw * T_rw^-1
+        # (Tracking.cc:524-540): composed with the keyframe's CURRENT
+        # pose at save time so trajectories follow BA/loop corrections
+        r_ref = m.n_kfs - 1
+        rr = jnp.clip(r_ref, 0)
+        q_cr, t_cr = se3.relative(q_new, t_new, m.kf_q[rr], m.kf_t[rr])
+        out = jnp.concatenate([
+            jnp.stack([n1_out.astype(jnp.float32),
+                       n2_out.astype(jnp.float32),
+                       commit.astype(jnp.float32),
+                       state_code.astype(jnp.float32)]),
+            qi, ti, r_ref.astype(jnp.float32)[None], q_cr, t_cr,
+            n_map.astype(jnp.float32)[None]])
+        return new_carry, out
+
+    @jax.jit
+    def _track_chunk(carry: TrackCarry, grays, depths, active):
+        # frame building stays INSIDE the scan: although extraction has
+        # no sequential dependency, vmapping it across the chunk was
+        # measured SLOWER (248 -> 200 fps) — 16 in-flight image pyramids
+        # thrash HBM, while one-frame-at-a-time keeps the working set
+        # resident and lets XLA overlap extraction with the previous
+        # frame's tracking tail
+        def step(c, inputs):
+            gray_u8, aux_w, act = inputs
+            return _frame_step(c, (_build_frame(gray_u8, aux_w), act))
+        return jax.lax.scan(step, carry, (grays, depths, active))
+
+    return _track_chunk
+
+
 class Tracker:
     """Per-frame tracking pipeline for all three sensors. Stereo/RGB-D
     initialization is predicated dataflow inside the scan; monocular
@@ -149,296 +445,11 @@ class Tracker:
         self._active_full = None    # cached on-device all-active mask
         self._last_outs = None      # (outs, k) of the most recent chunk
         self.carry = self._fresh_carry(map_state.empty(cfg))
+        # one compiled program per CONFIG, not per Tracker: the chunk
+        # program's trace alone costs tens of seconds, and benchmarks /
+        # multi-session tools build several trackers over the same config
+        self._track_chunk = _compiled_track_chunk(cfg)
 
-        P = cfg.orb.max_kps
-        tc = cfg.tracking
-        # close-point depth threshold mThDepth = bf * ThDepth / fx
-        # (Tracking.cc:117-124)
-        th_close = cfg.camera.bf / cfg.camera.fx * cfg.camera.th_depth
-
-        def _track_core(m, frame, q_pred, t_pred, q_last, t_last,
-                        last_mp, last_oct, last_angle,
-                        vo_pos=None, vo_desc=None, vo_oct=None, vo_ok=None,
-                        since_reloc=None):
-            """Two-stage matching + pose LM (TrackWithMotionModel +
-            TrackLocalMap, Tracking.cc:971-1093). In localization-only mode
-            the vo_* arrays carry the previous frame's temporal
-            visual-odometry points (UpdateLastFrame, ``Tracking.cc:893-968``)
-            and join the pose edges so tracking survives leaving the mapped
-            region (``Tracking.cc:349-418``)."""
-            has_last = last_mp >= 0
-            src_pos = m.mp_pos[jnp.clip(last_mp, 0)]
-            src_desc = m.mp_desc[jnp.clip(last_mp, 0)]
-            src_ok = has_last & m.mp_valid[jnp.clip(last_mp, 0)]
-            kp_to_src, _ = matcher.search_by_projection_pose(
-                src_pos, src_desc, last_oct, src_ok, q_pred, t_pred, frame,
-                cfg, th=15.0, src_angle=last_angle, check_rotation=True,
-                widen_below=tc.min_matches_motion)
-            kp_mp1 = jnp.where(kp_to_src >= 0,
-                               last_mp[jnp.clip(kp_to_src, 0)], -1)
-
-            # TrackReferenceKeyFrame fallback (Tracking.cc:328-339, :839-868):
-            # when motion-model matching stays short even after the widened
-            # window, re-associate against the newest keyframe's map points
-            # by descriptor (matcher.search_reference_kf) and optimize from
-            # the LAST pose instead of the constant-velocity prediction.
-            # Predicated dataflow: both branches computed, one selected.
-            r = jnp.maximum(m.n_kfs - 1, 0)
-            ref_mp = m.kf_mp[r]
-            ref_ok = (m.kf_kp_valid[r] & (ref_mp >= 0)
-                      & m.mp_valid[jnp.clip(ref_mp, 0)] & (m.n_kfs > 0))
-            kp_to_ref, _ = matcher.search_reference_kf(
-                m.kf_desc[r], ref_ok, m.kf_angle[r], frame, cfg)
-            kp_mp_ref = jnp.where(kp_to_ref >= 0,
-                                  ref_mp[jnp.clip(kp_to_ref, 0)], -1)
-            n_mot = jnp.sum((kp_mp1 >= 0).astype(jnp.int32))
-            n_ref = jnp.sum((kp_mp_ref >= 0).astype(jnp.int32))
-            use_ref = ((n_mot < tc.min_matches_motion)
-                       & (n_ref >= tc.min_matches_reference)
-                       & (n_ref > n_mot))
-            kp_mp1 = jnp.where(use_ref, kp_mp_ref, kp_mp1)
-            q_start = jnp.where(use_ref, q_last, q_pred)
-            t_start = jnp.where(use_ref, t_last, t_pred)
-
-            # localization-VO: match unassociated keypoints against the
-            # previous frame's temporal points so the pose stays estimable
-            # with the map out of view (static branch — zero cost outside
-            # localization mode)
-            use_vo = cfg.localization_only and vo_pos is not None
-            if use_vo:
-                # vo arrays are indexed by the previous frame's keypoint
-                # slots, the same layout as last_angle
-                kp_to_vo, _ = matcher.search_by_projection_pose(
-                    vo_pos, vo_desc, vo_oct, vo_ok, q_pred, t_pred, frame,
-                    cfg, th=15.0, src_angle=last_angle, check_rotation=True,
-                    widen_below=tc.min_matches_motion)
-                kp_vo = jnp.where(kp_mp1 >= 0, -1, kp_to_vo)
-                pos1 = jnp.where((kp_mp1 >= 0)[:, None],
-                                 m.mp_pos[jnp.clip(kp_mp1, 0)],
-                                 vo_pos[jnp.clip(kp_vo, 0)])
-                valid1 = (kp_mp1 >= 0) | (kp_vo >= 0)
-            else:
-                kp_vo = jnp.full_like(kp_mp1, -1)
-                pos1 = m.mp_pos[jnp.clip(kp_mp1, 0)]
-                valid1 = kp_mp1 >= 0
-
-            q1, t1, inl1, n1 = pose_optimization(
-                q_start, t_start, pos1, frame.uv,
-                frame.u_right, frame.kps.octave, valid1, cfg)
-            kp_mp1 = jnp.where(inl1, kp_mp1, -1)
-            kp_vo = jnp.where(inl1, kp_vo, -1)
-
-            tv = matcher.frustum_check(
-                q1, t1, m.mp_pos, m.mp_normal, m.mp_min_dist, m.mp_max_dist,
-                m.mp_valid, cfg)
-            # visibility bookkeeping: frustum-passing points plus points
-            # already matched by the motion-model stage count as "visible"
-            # this frame (IncreaseVisible call sites, Tracking.cc:1330-1352)
-            seen1 = jnp.zeros((m.M + 1,), bool).at[
-                jnp.where(kp_mp1 >= 0, kp_mp1, m.M)].set(True)[:m.M]
-            vis_mask = tv.ok | seen1
-            # compact frustum survivors into a bounded candidate set (the
-            # array analog of the reference's 80-keyframe local map,
-            # Tracking.cc:1409-1532): the matcher's per-pair gates run on
-            # the VPU, so sweeping only live candidates instead of the full
-            # point pool is a direct per-frame win
-            CAND = min(cfg.map.local_map_cap, m.M)
-            M_ = m.M
-            rank = jnp.cumsum(tv.ok.astype(jnp.int32)) - 1
-            slot = jnp.where(tv.ok & (rank < CAND), rank, CAND)
-            cand = jnp.zeros((CAND + 1,), jnp.int32).at[slot].set(
-                jnp.arange(M_, dtype=jnp.int32))[:CAND]
-            cand_ok = jnp.arange(CAND) < jnp.sum(tv.ok.astype(jnp.int32))
-            tv_c = matcher.TrackInView(
-                uv=tv.uv[cand], u_right=tv.u_right[cand],
-                dist=tv.dist[cand], view_cos=tv.view_cos[cand],
-                pred_level=tv.pred_level[cand], ok=cand_ok)
-            # search window: th=3 for RGB-D, 1 otherwise; widened to 5 for
-            # two frames after a relocalization (SearchLocalPoints,
-            # Tracking.cc:1322-1330)
-            th_base = 3.0 if cfg.sensor == SENSOR_RGBD else 1.0
-            th_lm = jnp.float32(th_base)
-            if since_reloc is not None:
-                th_lm = jnp.where(since_reloc < 2, jnp.float32(5.0), th_lm)
-            kp_to_c, _ = matcher.search_local_map(
-                tv_c, m.mp_desc[cand], frame, kp_mp1 >= 0, cfg, th=th_lm)
-            kp_to_mp2 = jnp.where(kp_to_c >= 0,
-                                  cand[jnp.clip(kp_to_c, 0)], -1)
-            kp_mp = jnp.where(kp_mp1 >= 0, kp_mp1, kp_to_mp2)
-            if use_vo:   # a local-map match supersedes a temporal VO match
-                kp_vo = jnp.where(kp_mp >= 0, -1, kp_vo)
-                pos2 = jnp.where((kp_mp >= 0)[:, None],
-                                 m.mp_pos[jnp.clip(kp_mp, 0)],
-                                 vo_pos[jnp.clip(kp_vo, 0)])
-                valid2 = (kp_mp >= 0) | (kp_vo >= 0)
-            else:
-                pos2 = m.mp_pos[jnp.clip(kp_mp, 0)]
-                valid2 = kp_mp >= 0
-            q2, t2, inl2, n2 = pose_optimization(
-                q1, t1, pos2, frame.uv, frame.u_right,
-                frame.kps.octave, valid2, cfg)
-            n_map = jnp.sum((inl2 & (kp_mp >= 0)).astype(jnp.int32))
-            kp_mp = jnp.where(inl2, kp_mp, -1)
-            close = frame.valid & (frame.depth > 0) & (frame.depth < th_close)
-            n_close_tr = jnp.sum((close & (kp_mp >= 0)).astype(jnp.int32))
-            n_close_free = jnp.sum((close & (kp_mp < 0)).astype(jnp.int32))
-            return (q2, t2, kp_mp, n1, n2, n_map, n_close_tr, n_close_free,
-                    vis_mask, kp_vo >= 0)
-
-        def _build_frame(gray_u8, aux_w):
-            # inputs arrive in wire format (u8 gray, u16 millimetre depth or
-            # u8 right image) and convert on device: host->device bandwidth
-            # is the measured bottleneck of the whole pipeline, and u8/u16
-            # carry the same information the reference's 8-bit images and
-            # TUM 16-bit depth PNGs do
-            gray = gray_u8.astype(jnp.float32)
-            # static sensor branch: for stereo `aux` is the right image
-            # (Frame.cc:62-118), for RGB-D the metric depth map (:679-701),
-            # for mono it is ignored
-            if cfg.sensor == SENSOR_STEREO:
-                return frame_mod.build_stereo(gray, aux_w.astype(jnp.float32),
-                                              cfg)
-            elif cfg.sensor == SENSOR_MONOCULAR:
-                return frame_mod.build_mono(gray, cfg)
-            depth = aux_w.astype(jnp.float32) * jnp.float32(1e-3)
-            return frame_mod.build_rgbd(gray, depth, cfg)
-
-        def _frame_step(carry: TrackCarry, inputs):
-            frame, active = inputs
-            m = carry.m
-
-            # ---------- tracking attempt (garbage but harmless pre-init)
-            q_pred, t_pred = se3.compose(carry.vel_q, carry.vel_t,
-                                         carry.q, carry.t)
-            (q2, t2, kp_mp, n1, n2, n_map, nct, ncf, vis_mask,
-             kp_is_vo) = _track_core(
-                m, frame, q_pred, t_pred, carry.q, carry.t,
-                carry.last_mp, carry.last_oct, carry.last_angle,
-                carry.vo_pos, carry.vo_desc, carry.vo_oct, carry.vo_ok,
-                carry.since_reloc)
-            good = ((n2 >= tc.min_inliers_local_map) & active
-                    & carry.initialized)
-            # found/visible counters (MapPoint.cc:268-283): feed the
-            # found-ratio map-point culling (LocalMapping.cc:221)
-            m = map_state.bump_visibility(m, vis_mask, kp_mp,
-                                          active & carry.initialized)
-
-            # ---------- stereo/RGB-D initialization (predicated); mono
-            # initializes at the System level (two-view reconstruction)
-            n_depth = jnp.sum((frame.valid & (frame.depth > 0)).astype(jnp.int32))
-            can_init = ((~carry.initialized) & active
-                        & (n_depth >= tc.min_init_stereo_kps))
-            if cfg.sensor == SENSOR_MONOCULAR:
-                can_init = jnp.array(False)
-            q_init = se3.quat_exp(jnp.array([cfg.initial_pitch, 0.0, 0.0]))
-            t_init = jnp.zeros(3)
-
-            # ---------- keyframe decision (NeedNewKeyFrame, Tracking.cc:1103)
-            capacity_ok = ((m.M - m.n_mps >= 1024) & (m.n_kfs < m.K))
-            need_close = (nct < 100) & (ncf > 70)
-            c1 = carry.since_kf >= tc.max_frames_between_kf
-            c2 = ((n2 < (0.75 * carry.ref_tracked.astype(jnp.float32)))
-                  | need_close)
-            need_kf = good & capacity_ok & (n2 > 15) & (c1 | c2)
-            if cfg.localization_only:
-                # localization mode: map frozen (System.cc:578-605)
-                need_kf = jnp.array(False)
-                can_init = jnp.array(False)
-
-            # ---------- predicated commit (insert + spawn, no lax.cond)
-            commit = need_kf | (can_init & capacity_ok)
-            q_c = jnp.where(can_init, q_init, q2)
-            t_c = jnp.where(can_init, t_init, t2)
-            kp_mp_c = jnp.where(can_init, -jnp.ones_like(kp_mp), kp_mp)
-            m, kf_row = map_state.commit_keyframe(
-                m, frame, q_c, t_c, carry.frame_id, kp_mp_c, commit, cfg,
-                close_only=True, max_spawn=P, allow_far=can_init)
-            kp_mp_out = jnp.where(commit, kf_row, kp_mp)
-            n_spawned = jnp.sum((kf_row >= 0).astype(jnp.int32))
-
-            # ---------- carry updates
-            track_ok = good | can_init
-            q_new = jnp.where(can_init, q_init, jnp.where(good, q2, carry.q))
-            t_new = jnp.where(can_init, t_init, jnp.where(good, t2, carry.t))
-            vq, vt = se3.relative(q2, t2, carry.q, carry.t)
-            vel_q = jnp.where(good, vq, jnp.where(
-                can_init, jnp.array([1.0, 0, 0, 0]), carry.vel_q))
-            vel_t = jnp.where(good, vt, jnp.where(
-                can_init, jnp.zeros(3), carry.vel_t))
-            initialized = carry.initialized | can_init
-
-            # localization-VO: re-spawn temporal points from THIS frame's
-            # close depths under its final pose for the next frame's match
-            # (UpdateLastFrame, Tracking.cc:919-965; static branch)
-            if cfg.localization_only and cfg.sensor != SENSOR_MONOCULAR:
-                from orb_slam_2_ros_tpu.geometry import camera as cam_mod
-                xc = cam_mod.backproject(cfg.camera, frame.uv, frame.depth)
-                qi_w, ti_w = se3.inverse(q_new, t_new)
-                vo_pos_new = se3.apply(qi_w, ti_w, xc)
-                vo_ok_new = (frame.valid & (frame.depth > 0)
-                             & (frame.depth < th_close) & track_ok)
-                vo_pos_c = jnp.where(track_ok, vo_pos_new, carry.vo_pos)
-                vo_desc_c = jnp.where(track_ok, frame.desc, carry.vo_desc)
-                vo_oct_c = jnp.where(track_ok, frame.kps.octave, carry.vo_oct)
-                vo_ok_c = jnp.where(track_ok, vo_ok_new, carry.vo_ok)
-            else:
-                vo_pos_c, vo_desc_c = carry.vo_pos, carry.vo_desc
-                vo_oct_c, vo_ok_c = carry.vo_oct, carry.vo_ok
-
-            new_carry = TrackCarry(
-                m=m, initialized=initialized, q=q_new, t=t_new,
-                vel_q=vel_q, vel_t=vel_t,
-                last_mp=jnp.where(track_ok, kp_mp_out, carry.last_mp),
-                last_oct=jnp.where(track_ok, frame.kps.octave, carry.last_oct),
-                last_angle=jnp.where(track_ok, frame.kps.angle,
-                                     carry.last_angle),
-                vo_pos=vo_pos_c, vo_desc=vo_desc_c, vo_oct=vo_oct_c,
-                vo_ok=vo_ok_c,
-                last_vo=jnp.where(track_ok, kp_is_vo, carry.last_vo),
-                ref_tracked=jnp.where(can_init, n_spawned,
-                                      jnp.where(need_kf, n2,
-                                                carry.ref_tracked)),
-                since_kf=jnp.where(commit, 0,
-                                   carry.since_kf + active.astype(jnp.int32)),
-                frame_id=carry.frame_id + active.astype(jnp.int32),
-                since_reloc=jnp.minimum(
-                    carry.since_reloc + active.astype(jnp.int32), 1000))
-
-            state_code = jnp.where(
-                track_ok, OK,
-                jnp.where(initialized, LOST, NOT_INITIALIZED))
-            qi, ti = se3.inverse(q_new, t_new)
-            n1_out = jnp.where(can_init, n_spawned, n1)
-            n2_out = jnp.where(can_init, n_spawned, n2)
-            # reference-keyframe relative pose T_cr = T_cw * T_rw^-1
-            # (Tracking.cc:524-540): composed with the keyframe's CURRENT
-            # pose at save time so trajectories follow BA/loop corrections
-            r_ref = m.n_kfs - 1
-            rr = jnp.clip(r_ref, 0)
-            q_cr, t_cr = se3.relative(q_new, t_new, m.kf_q[rr], m.kf_t[rr])
-            out = jnp.concatenate([
-                jnp.stack([n1_out.astype(jnp.float32),
-                           n2_out.astype(jnp.float32),
-                           commit.astype(jnp.float32),
-                           state_code.astype(jnp.float32)]),
-                qi, ti, r_ref.astype(jnp.float32)[None], q_cr, t_cr,
-                n_map.astype(jnp.float32)[None]])
-            return new_carry, out
-
-        @jax.jit
-        def _track_chunk(carry: TrackCarry, grays, depths, active):
-            # frame building stays INSIDE the scan: although extraction has
-            # no sequential dependency, vmapping it across the chunk was
-            # measured SLOWER (248 -> 200 fps) — 16 in-flight image pyramids
-            # thrash HBM, while one-frame-at-a-time keeps the working set
-            # resident and lets XLA overlap extraction with the previous
-            # frame's tracking tail
-            def step(c, inputs):
-                gray_u8, aux_w, act = inputs
-                return _frame_step(c, (_build_frame(gray_u8, aux_w), act))
-            return jax.lax.scan(step, carry, (grays, depths, active))
-
-        self._track_chunk = _track_chunk
 
     def _fresh_carry(self, m: map_state.MapState,
                      initialized: bool = False) -> TrackCarry:
